@@ -1,0 +1,285 @@
+"""TPU-native HuBERT encoder (flax.linen).
+
+Re-implements the architecture consumed by the reference Sylber
+(`/root/reference/sylber/model/sylber.py:41` builds
+``transformers.HubertModel(HubertConfig.from_pretrained("facebook/hubert-base-ls960",
+num_hidden_layers=9))``). The layer semantics below mirror HF's
+``modeling_hubert.py`` exactly (post-LN encoder variant,
+``do_stable_layer_norm=False``) so that converted PyTorch checkpoints produce
+fp32-tolerance-identical hidden states:
+
+- waveform frontend: 7 Conv1d layers (512ch), strides [5,2,2,2,2,2,2],
+  kernels [10,3,3,3,3,2,2], GroupNorm(512 groups) after layer 0 only, GELU,
+  no bias. Total stride 320 -> 50 Hz frames.
+- feature projection: LayerNorm -> Linear 512->768 (-> dropout).
+- optional span masking: learned ``masked_spec_embed`` substituted at
+  ``mask_time_indices``.
+- conv positional embedding: Conv1d(768,768,k=128,groups=16) (weight-norm is
+  folded into a plain kernel at checkpoint-conversion time), trailing sample
+  removed (HF SamePad for even kernels), GELU, additive.
+- 9 post-LN transformer layers: MHA 12 heads, FFN 3072, GELU, LN eps 1e-5.
+- attention_mask semantics: sample-level mask downsampled through the conv
+  stack; non-attended frames zeroed before the positional conv; additive
+  -inf attention bias per layer.
+
+Everything is expressed with static shapes and jit-friendly control flow.
+Attention dispatches through :mod:`sylber_tpu.ops.attention` so a Pallas
+flash-attention kernel can be swapped in on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    """Architecture hyper-parameters (hubert-base-ls960 defaults).
+
+    Mirrors the pinned HF config the reference uses; the reference truncates
+    ``num_hidden_layers`` to 9 (`/root/reference/sylber/model/sylber.py:41`).
+    """
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 9
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Sequence[int] = (512, 512, 512, 512, 512, 512, 512)
+    conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    conv_bias: bool = False
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    feat_proj_layer_norm: bool = True
+    # dropout rates (training only; eval path is deterministic)
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    feat_proj_dropout: float = 0.0
+    # compute dtype for the transformer stack; frontend always runs fp32 to
+    # preserve GroupNorm precision (SURVEY.md "hard parts").
+    dtype: jnp.dtype = jnp.float32
+    # matmul/conv precision: "highest" gives true-fp32 MXU passes (parity
+    # mode); "default" lets XLA use bf16 MXU inputs (fast mode).
+    precision: str = "highest"
+
+    @property
+    def total_stride(self) -> int:
+        s = 1
+        for st in self.conv_stride:
+            s *= st
+        return s
+
+    def feat_extract_output_length(self, input_length):
+        """Conv output length, chained floor((L - k) / s) + 1 (HF formula)."""
+        length = input_length
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            length = (length - k) // s + 1
+        return length
+
+
+def feature_vector_attention_mask(
+    config: HubertConfig, attention_mask: jnp.ndarray, num_frames: int
+) -> jnp.ndarray:
+    """Downsample a sample-level mask to frame level (HF semantics).
+
+    HF marks frames ``< output_length`` as attended where
+    ``output_length = _get_feat_extract_output_lengths(mask.sum(-1))``.
+    """
+    lengths = attention_mask.sum(axis=-1)
+    out_lengths = config.feat_extract_output_length(lengths)
+    frame_idx = jnp.arange(num_frames)[None, :]
+    return (frame_idx < out_lengths[:, None]).astype(jnp.int32)
+
+
+class ConvFeatureEncoder(nn.Module):
+    """Waveform frontend: 7 strided Conv1d layers, GroupNorm on layer 0."""
+
+    config: HubertConfig
+
+    @nn.compact
+    def __call__(self, input_values: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        # (B, L) -> (B, L, 1); run in fp32 for GroupNorm stability.
+        x = input_values[..., None].astype(jnp.float32)
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            x = nn.Conv(
+                features=dim,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=cfg.conv_bias,
+                dtype=jnp.float32,
+                precision=cfg.precision,
+                name=f"conv_{i}",
+            )(x)
+            if i == 0:
+                # GroupNorm(512 groups, 512 ch) == per-channel instance norm
+                # over the length dim, affine. Matches torch GroupNorm.
+                x = nn.GroupNorm(
+                    num_groups=dim,
+                    epsilon=cfg.layer_norm_eps,
+                    dtype=jnp.float32,
+                    name="group_norm",
+                )(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class FeatureProjection(nn.Module):
+    config: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        if cfg.feat_proj_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="layer_norm")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, precision=cfg.precision,
+                     name="projection")(x)
+        x = nn.Dropout(cfg.feat_proj_dropout)(x, deterministic=deterministic)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped Conv1d positional embedding (weight-norm folded at load)."""
+
+    config: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        out = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(k,),
+            padding=((k // 2, k // 2),),
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            use_bias=True,
+            dtype=cfg.dtype,
+            precision=cfg.precision,
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            # HF SamePadLayer: drop the trailing frame for even kernels.
+            out = out[:, :-1, :]
+        return nn.gelu(out, approximate=False)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer layer (HF `HubertEncoderLayer`)."""
+
+    config: HubertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        attn_out = multi_head_attention(
+            x,
+            num_heads=cfg.num_attention_heads,
+            dtype=cfg.dtype,
+            precision=cfg.precision,
+            bias=attn_bias,
+            dropout_rate=cfg.attention_dropout,
+            deterministic=deterministic,
+            name="attention",
+        )
+        attn_out = nn.Dropout(cfg.hidden_dropout)(
+            attn_out, deterministic=deterministic
+        )
+        x = x + attn_out
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="layer_norm")(x)
+
+        h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
+                     precision=cfg.precision, name="intermediate_dense")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, precision=cfg.precision,
+                     name="output_dense")(h)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        x = x + h
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="final_layer_norm")(x)
+        return x
+
+
+class HubertModel(nn.Module):
+    """Full HuBERT encoder: waveform in, frame features out.
+
+    ``__call__(input_values (B, L), attention_mask (B, L) or None,
+    mask_time_indices (B, T) bool or None)`` -> last_hidden_state (B, T, 768).
+    """
+
+    config: HubertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_values: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        mask_time_indices: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        feats = ConvFeatureEncoder(cfg, name="feature_extractor")(input_values)
+        num_frames = feats.shape[1]
+
+        frame_mask = None
+        if attention_mask is not None:
+            frame_mask = feature_vector_attention_mask(
+                cfg, attention_mask, num_frames
+            )
+
+        x = FeatureProjection(cfg, name="feature_projection")(
+            feats.astype(cfg.dtype), deterministic=deterministic
+        )
+
+        # created unconditionally so the param tree is call-shape independent
+        masked_embed = self.param(
+            "masked_spec_embed",
+            nn.initializers.uniform(scale=1.0),
+            (cfg.hidden_size,),
+            jnp.float32,
+        ).astype(cfg.dtype)
+        if mask_time_indices is not None:
+            x = jnp.where(mask_time_indices[..., None], masked_embed, x)
+
+        attn_bias = None
+        if frame_mask is not None:
+            # make sure padded frames output 0 (HF zeroes them pre pos-conv)
+            x = x * frame_mask[..., None].astype(x.dtype)
+            big_neg = jnp.finfo(jnp.float32).min
+            attn_bias = jnp.where(
+                frame_mask[:, None, None, :] > 0, 0.0, big_neg
+            ).astype(jnp.float32)
+
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         name="encoder_layer_norm")(x)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+
+        for i in range(cfg.num_hidden_layers):
+            x = EncoderLayer(cfg, name=f"layer_{i}")(
+                x, attn_bias, deterministic=deterministic
+            )
+        return x
+
+    def init_params(self, rng: jax.Array, example_len: int = 16000):
+        wav = jnp.zeros((1, example_len), jnp.float32)
+        return self.init(rng, wav)["params"]

@@ -1,0 +1,185 @@
+"""Public inference API: `Segmenter` (and `SegmentSynthesis` in .synthesis).
+
+Preserves the reference surface (`/root/reference/sylber/model/sylber.py:28-138`,
+`README.md:34-50`): ``Segmenter(model_ckpt=...)`` then
+``segmenter(wav_file=..., in_second=True)`` returning a dict (or list of
+dicts) with ``segments``, ``segment_features`` and ``hidden_states``.
+
+TPU-native differences (all output-compatible):
+- the HuBERT forward, segmentation, boundary refinement and segment pooling
+  run in ONE jitted XLA program per (batch, length) bucket — no device->host
+  copy of frame features, no serial numpy loop.
+- inputs are bucketed (lengths rounded up, batch padded to fixed sizes) so a
+  stream of utterances reuses a small set of compiled programs.
+- padded frames are masked out of segmentation, so batched results equal
+  single-utterance results (the reference can emit spurious segments in the
+  padded tail).
+- ``hidden_states`` are returned trimmed to each utterance's true frame count.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.hubert import HubertConfig, HubertModel, feature_vector_attention_mask
+from .ops.segment import segment_batch
+from .utils.audio import load_for_inference
+
+FRAME_RATE = 50.0  # 320x conv stride at 16 kHz
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Segmenter:
+    """Syllable segmenter: wav -> {segments, segment_features, hidden_states}.
+
+    Args mirror the reference (`sylber.py:30-38`); ``model_ckpt`` accepts a
+    local PyTorch ``sylber.ckpt``-style state_dict path, an Orbax checkpoint
+    directory, or ``None`` (random init — tests/benchmarks only).
+    """
+
+    def __init__(
+        self,
+        model_ckpt: Optional[str] = None,
+        encoding_layer: int = 9,
+        merge_threshold: float = 0.8,
+        norm_threshold: float = 2.6,
+        dtype: Any = jnp.float32,
+        precision: str = "highest",
+        length_bucket_s: float = 1.0,
+        batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
+        params: Optional[Dict[str, Any]] = None,
+        **kwargs: Any,
+    ) -> None:
+        self.config = HubertConfig(
+            num_hidden_layers=encoding_layer, dtype=dtype, precision=precision
+        )
+        self.model = HubertModel(self.config)
+        self.norm_threshold = float(norm_threshold)
+        self.merge_threshold = float(merge_threshold)
+        self.length_bucket = int(length_bucket_s * 16000)
+        self.batch_buckets = tuple(sorted(batch_buckets))
+
+        if params is not None:
+            self.params = params
+        elif model_ckpt is not None:
+            self.params = self._load_params(model_ckpt, encoding_layer)
+        else:
+            self.params = self.model.init_params(jax.random.PRNGKey(0))
+        self.params = jax.device_put(
+            jax.tree.map(jnp.asarray, self.params)
+        )
+
+        model, config = self.model, self.config
+
+        def _fwd(params, wavs, attention_mask, norm_threshold, merge_threshold):
+            """One fused program: encoder forward + segmentation + pooling."""
+            hidden = model.apply(
+                {"params": params}, wavs, attention_mask
+            ).astype(jnp.float32)
+            frame_valid = feature_vector_attention_mask(
+                config, attention_mask, hidden.shape[1]
+            ).astype(bool)
+            res = segment_batch(
+                hidden, norm_threshold, merge_threshold, frame_valid=frame_valid
+            )
+            return hidden, res
+
+        self._forward_segment = jax.jit(_fwd)
+
+    @staticmethod
+    def _load_params(model_ckpt: str, encoding_layer: int):
+        path = Path(model_ckpt)
+        if path.is_dir():
+            from .io.checkpoint import load_params
+
+            return load_params(str(path))
+        if not path.exists():
+            raise FileNotFoundError(
+                f"checkpoint {model_ckpt!r} not found; pass a local torch "
+                "state_dict file or an Orbax checkpoint directory"
+            )
+        from .io.torch_convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(str(path), num_hidden_layers=encoding_layer)
+
+    # ---- public API ----------------------------------------------------
+
+    def __call__(
+        self,
+        wav_file: Union[None, str, Path, List] = None,
+        wav: Union[None, np.ndarray, List[np.ndarray]] = None,
+        in_second: bool = True,
+        norm_threshold: Optional[float] = None,
+        merge_threshold: Optional[float] = None,
+    ):
+        if wav_file is not None:
+            is_batch = isinstance(wav_file, (list, tuple))
+            files = list(wav_file) if is_batch else [wav_file]
+            wavs = [load_for_inference(f) for f in files]
+        else:
+            assert wav is not None
+            is_batch = isinstance(wav, (list, tuple))
+            wavs = [np.asarray(w, np.float32).reshape(-1) for w in
+                    (wav if is_batch else [wav])]
+
+        outputs = self.process(wavs, in_second=in_second,
+                               norm_threshold=norm_threshold,
+                               merge_threshold=merge_threshold)
+        return outputs if is_batch else outputs[0]
+
+    def process(
+        self,
+        wavs: List[np.ndarray],
+        in_second: bool = True,
+        norm_threshold: Optional[float] = None,
+        merge_threshold: Optional[float] = None,
+    ) -> List[Dict[str, np.ndarray]]:
+        nt = self.norm_threshold if norm_threshold is None else float(norm_threshold)
+        mt = self.merge_threshold if merge_threshold is None else float(merge_threshold)
+
+        n = len(wavs)
+        lengths = [len(w) for w in wavs]
+        max_len = _round_up(max(max(lengths), 400), self.length_bucket)
+        bsz = next((b for b in self.batch_buckets if b >= n), None)
+        if bsz is None:
+            # split oversize batches into the largest bucket
+            big = self.batch_buckets[-1]
+            out: List[Dict[str, np.ndarray]] = []
+            for i in range(0, n, big):
+                out.extend(self.process(wavs[i:i + big], in_second, nt, mt))
+            return out
+
+        batch = np.zeros((bsz, max_len), np.float32)
+        mask = np.zeros((bsz, max_len), np.int32)
+        for i, w in enumerate(wavs):
+            batch[i, : len(w)] = w
+            mask[i, : len(w)] = 1
+
+        hidden, res = self._forward_segment(
+            self.params, jnp.asarray(batch), jnp.asarray(mask),
+            jnp.float32(nt), jnp.float32(mt),
+        )
+        hidden = np.asarray(hidden)
+        segs = np.asarray(res.segments)
+        nseg = np.asarray(res.num_segments)
+        feats = np.asarray(res.features)
+
+        outputs = []
+        for i in range(n):
+            k = int(nseg[i])
+            seg_i = segs[i, :k].astype(np.int64)
+            t_valid = self.config.feat_extract_output_length(lengths[i])
+            outputs.append({
+                "segments": seg_i / FRAME_RATE if in_second else seg_i,
+                "segment_features": feats[i, :k].copy() if k else np.array([]),
+                "hidden_states": hidden[i, :t_valid],
+            })
+        return outputs

@@ -44,12 +44,25 @@ def segment_oracle(
     norm_threshold: float,
     merge_threshold: float,
     norms: np.ndarray | None = None,
-) -> np.ndarray:
-    """Return ``(n_seg, 2)`` int array of ``[start, end)`` frame boundaries."""
+    return_margin: bool = False,
+):
+    """Return ``(n_seg, 2)`` int array of ``[start, end)`` frame boundaries.
+
+    With ``return_margin=True`` additionally returns the smallest absolute
+    distance of any thresholded decision (norm gate or cosine merge) from its
+    threshold — a robustness measure: decisions flip under numerical noise
+    only if the noise exceeds this margin.
+    """
     states = np.asarray(states, dtype=np.float32)
     if norms is None:
         norms = frame_norms(states)
     voiced = norms >= norm_threshold
+    margin = float(np.abs(norms - norm_threshold).min()) if len(norms) else np.inf
+
+    def _track(sim):
+        nonlocal margin
+        margin = min(margin, abs(float(sim) - merge_threshold))
+        return sim
 
     L = len(states)
     segs: list[list[int]] = []
@@ -70,7 +83,7 @@ def segment_oracle(
             cnt = 1
             start = i
         else:
-            if _cossim(curr, states[i]) >= merge_threshold:
+            if _track(_cossim(curr, states[i])) >= merge_threshold:
                 curr = (curr * cnt + states[i]) / (cnt + 1)
                 cnt += 1
             else:
@@ -90,7 +103,7 @@ def segment_oracle(
         b0, b1 = segs[gi + 1]
         mean_a = states[a0:a1].mean(0)
         mean_b = states[b0:b1].mean(0)
-        if _cossim(mean_a, mean_b) >= merge_threshold:
+        if _track(_cossim(mean_a, mean_b)) >= merge_threshold:
             segs[gi + 1] = [a0, b1]
             merged.add(gi)
             continue
@@ -104,7 +117,10 @@ def segment_oracle(
         segs[gi + 1] = [opt, b1]
 
     out = [seg for i, seg in enumerate(segs) if i not in merged]
-    return np.array(out, dtype=np.int64).reshape(-1, 2)
+    result = np.array(out, dtype=np.int64).reshape(-1, 2)
+    if return_margin:
+        return result, margin
+    return result
 
 
 def pool_segment_features(states: np.ndarray, segments: np.ndarray) -> np.ndarray:

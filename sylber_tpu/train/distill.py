@@ -1,0 +1,278 @@
+"""Sylber self-distillation training steps (stage 1 + stage 2), fully jitted.
+
+Re-designs the reference training path (`/root/reference/sylber/model/sylber.py:250-352`,
+`sylber_trainer.py:13-67`) as pure functions over a train-state pytree:
+
+- teacher = EMA param pytree, forwarded without dropout (no-grad);
+- stage 1: segments come precomputed from the batch (SDHuBERT ``.npy``);
+- stage 2 (``segment_online``): the norm threshold comes from the in-graph
+  Thresholder stats, segmentation runs on-device via the XLA scan
+  (:mod:`sylber_tpu.ops.segment`), and threshold stats update inside the same
+  program — eliminating the reference's per-step GPU->CPU sync
+  (`sylber.py:262-276`);
+- optional segment-span masking of the student input
+  (`sylber.py:277-296`; both reference configs set ``mask_prob: 0``);
+- optional WavLM-style noise mixing (`noise_utils.py`);
+- loss: per-frame MSE between student frames and the segment-averaged
+  teacher fill, summed over dim, mean over frames (`sylber.py:313-338` — only
+  the live code path; the undefined-attribute LM remnants documented in
+  SURVEY.md §2.4 are not replicated);
+- AdamW(lr, eps=1e-4, betas=(0.9, 0.95), wd=0.1) + global-norm clip 0.5 +
+  warmup-cosine schedule (`sylber_trainer.py:61-67`, `train.py:99`).
+
+The reference's known-broken branches (use_target_ft_ratio/emb_detach_ratio,
+`sylber.py:321-326`) are intentionally absent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.noise import NoiseMixerConfig, mix_noise
+from ..models.hubert import HubertConfig, HubertModel, feature_vector_attention_mask
+from ..ops.segment import averaged_target_fill, segment_batch
+from .ema import ema_update
+from .lr import cosine_warmup_schedule
+from .thresholder import ThresholderState, get_threshold, thresholder_init, update_stats
+
+
+@dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    model: HubertConfig = HubertConfig()
+    ema_decay: float = 1.0                     # sylber_base.yaml:4 (frozen)
+    segment_online: bool = False
+    merge_threshold_range: Tuple[float, float] = (0.5, 0.7)
+    use_train_thrupdate: bool = False
+    thresholder_decay: float = 0.9999
+    mask_prob: float = 0.0
+    min_mask_n: int = 0
+    max_mask_set: int = 1
+    max_mask_draws: int = 16                   # static cap on masked spans/item
+    do_noise_augment: bool = False
+    noise_mixer: NoiseMixerConfig = NoiseMixerConfig()
+    # optimizer (sylber_trainer.py:64, train.py:99)
+    lr: float = 1e-4
+    warmup_steps: int = 500
+    total_steps: int = 200_000
+    min_factor: float = 1.0
+    hold_steps: int = 0
+    weight_decay: float = 0.1
+    grad_clip: float = 0.5
+    loss_scale: float = 1.0                    # loss_coefs.distillation_loss
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    thresholder: ThresholderState
+
+
+def make_optimizer(cfg: DistillConfig) -> optax.GradientTransformation:
+    schedule = cosine_warmup_schedule(
+        cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.min_factor, cfg.hold_steps
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-4,
+                    weight_decay=cfg.weight_decay),
+    )
+
+
+def init_train_state(
+    cfg: DistillConfig,
+    rng: jax.Array,
+    params: Optional[Any] = None,
+    thresholder_kwargs: Optional[dict] = None,
+) -> TrainState:
+    model = HubertModel(cfg.model)
+    if params is None:
+        params = model.init_params(rng)
+    opt_state = make_optimizer(cfg).init(params)
+    thr = thresholder_init(**(thresholder_kwargs or {}))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(lambda p: p, params),
+        opt_state=opt_state,
+        thresholder=thr,
+    )
+
+
+def _span_mask(rng, segments, num_segments, num_frames, cfg: DistillConfig):
+    """Segment-span student masking (`sylber.py:277-296`).
+
+    Faithful in distribution: per-segment Bernoulli(mask_prob) determines the
+    number of masked spans (floored at min_mask_n, capped at the static
+    max_mask_draws); span anchors are drawn uniformly with replacement; each
+    span covers 1..max_mask_set consecutive segments.
+    """
+    B, MS, _ = segments.shape
+    if cfg.mask_prob <= 0.0 and cfg.min_mask_n <= 0:
+        return jnp.zeros((B, num_frames), bool)
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    seg_valid = jnp.arange(MS)[None, :] < num_segments[:, None]
+    bern = (jax.random.uniform(k1, (B, MS)) < cfg.mask_prob) & seg_valid
+    mask_n = jnp.maximum(bern.sum(-1), cfg.min_mask_n)
+    mask_n = jnp.minimum(mask_n, cfg.max_mask_draws)
+
+    draws = cfg.max_mask_draws
+    # anchors uniform over [0, n_b) per draw
+    u = jax.random.uniform(k2, (B, draws))
+    anchors = jnp.floor(u * jnp.maximum(num_segments, 1)[:, None]).astype(jnp.int32)
+    span = jax.random.randint(k3, (B, draws), 1, cfg.max_mask_set + 1)
+    lastseg = jnp.minimum(num_segments[:, None], anchors + span) - 1
+    bidx = jnp.arange(B)[:, None]
+    start = segments[bidx, anchors, 0]
+    end = segments[bidx, jnp.maximum(lastseg, 0), 1]
+    active = (jnp.arange(draws)[None, :] < mask_n[:, None]) & (num_segments[:, None] > 0)
+
+    t = jnp.arange(num_frames)[None, None, :]
+    spans = (t >= start[..., None]) & (t < end[..., None]) & active[..., None]
+    return spans.any(axis=1)
+
+
+def distill_loss(
+    params,
+    ema_params,
+    thresholder: ThresholderState,
+    batch: dict,
+    rng: jax.Array,
+    cfg: DistillConfig,
+    train: bool = True,
+):
+    """Compute the distillation loss; returns (loss, aux).
+
+    ``batch``: input_values (B, L); attention_mask (B, L) optional;
+    noise (B, L) optional; segments (B, MS, 2) + num_segments (B,) for
+    stage 1 (None triggers online segmentation).
+    """
+    model = HubertModel(cfg.model)
+    wav = batch["input_values"]
+    attention_mask = batch.get("attention_mask")
+    k_seg, k_mask, k_noise, k_drop = jax.random.split(rng, 4)
+
+    # --- teacher forward (no grad, eval mode) ---
+    target_hidden = model.apply(
+        {"params": jax.lax.stop_gradient(ema_params)}, wav, attention_mask
+    ).astype(jnp.float32)
+    target_hidden = jax.lax.stop_gradient(target_hidden)
+    B, T, _ = target_hidden.shape
+
+    new_thr_state = thresholder
+    if batch.get("segments") is not None:
+        segments = batch["segments"]
+        num_segments = batch["num_segments"]
+        norm_mask = None
+    else:
+        assert cfg.segment_online, "no segments provided and segment_online off"
+        normthreshold = get_threshold(thresholder)
+        norms = jnp.sqrt((target_hidden ** 2).sum(-1) + 1e-8)
+        norm_mask = norms >= normthreshold
+        if cfg.use_train_thrupdate:
+            new_thr_state = update_stats(
+                thresholder, signal=norms.reshape(-1),
+                signal_mask=norm_mask.reshape(-1),
+                decay=cfg.thresholder_decay)
+        else:
+            new_thr_state = update_stats(
+                thresholder, signal=norms.reshape(-1),
+                signal_mask=norm_mask.reshape(-1),
+                noise=norms.reshape(-1),
+                noise_mask=(~norm_mask).reshape(-1),
+                decay=cfg.thresholder_decay)
+        lo, hi = cfg.merge_threshold_range
+        merge_threshold = jnp.where(
+            lo < hi,
+            jax.random.uniform(k_seg, ()) * (hi - lo) + lo,
+            jnp.float32(lo),
+        )
+        frame_valid = None
+        if attention_mask is not None:
+            frame_valid = feature_vector_attention_mask(
+                cfg.model, attention_mask, T).astype(bool)
+        res = segment_batch(target_hidden, normthreshold, merge_threshold,
+                            frame_valid=frame_valid, norms=norms)
+        segments, num_segments = res.segments, res.num_segments
+
+    mask_time_indices = _span_mask(k_mask, segments, num_segments, T, cfg)
+
+    student_in = wav
+    if cfg.do_noise_augment and batch.get("noise") is not None:
+        student_in = mix_noise(k_noise, wav, batch["noise"], cfg.noise_mixer)
+
+    hidden = model.apply(
+        {"params": params}, student_in, attention_mask,
+        mask_time_indices,
+        deterministic=not train,
+        rngs={"dropout": k_drop} if train else {},
+    ).astype(jnp.float32)
+
+    if cfg.segment_online and cfg.use_train_thrupdate and norm_mask is not None:
+        train_norms = jnp.sqrt(
+            (jax.lax.stop_gradient(hidden) ** 2).sum(-1) + 1e-8)
+        new_thr_state = update_stats(
+            new_thr_state, noise=train_norms.reshape(-1),
+            noise_mask=(~norm_mask).reshape(-1),
+            decay=cfg.thresholder_decay)
+
+    target_fill = averaged_target_fill(target_hidden, segments, num_segments)
+    loss = ((hidden - target_fill) ** 2).sum(-1).mean()
+
+    aux = {
+        "distillation_loss": loss,
+        "thresholder": new_thr_state,
+        "num_segments": num_segments.sum(),
+        "masked_frames": mask_time_indices.sum(),
+    }
+    if cfg.segment_online:
+        aux["normthreshold"] = get_threshold(new_thr_state)
+    return cfg.loss_scale * loss, aux
+
+
+def make_train_step(cfg: DistillConfig):
+    """Returns a jittable ``(state, batch, rng) -> (state, metrics)``."""
+    optimizer = make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        # EMA update precedes the forward, as in the reference
+        # (`sylber_trainer.py:34-35`: ema_step() at each accumulation boundary)
+        ema_params = ema_update(state.ema_params, state.params, cfg.ema_decay)
+
+        (loss, aux), grads = jax.value_and_grad(distill_loss, has_aux=True)(
+            state.params, ema_params, state.thresholder, batch, rng, cfg
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+            thresholder=aux.pop("thresholder"),
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: DistillConfig):
+    def eval_step(state: TrainState, batch: dict, rng: jax.Array):
+        loss, aux = distill_loss(
+            state.params, state.ema_params, state.thresholder, batch, rng,
+            cfg, train=False,
+        )
+        aux.pop("thresholder")
+        return {"loss": loss, **aux}
+
+    return eval_step

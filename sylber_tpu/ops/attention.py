@@ -71,9 +71,12 @@ def dot_product_attention(
         scale = head_dim ** -0.5
 
     if _use_pallas(q.shape[-2]):
-        from .pallas.flash import flash_attention
-
-        return flash_attention(q, k, v, bias=bias, scale=scale)
+        try:
+            from .pallas.flash import flash_attention
+        except ImportError:
+            flash_attention = None
+        if flash_attention is not None:
+            return flash_attention(q, k, v, bias=bias, scale=scale)
 
     # HF scales q before the matmul; replicate for bitwise closeness.
     qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)

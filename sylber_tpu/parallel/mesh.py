@@ -1,0 +1,95 @@
+"""Device mesh + sharding rules (replaces the reference's Lightning DDP/NCCL,
+`/root/reference/train.py:91-102`).
+
+Strategy: a 2-D ``(dp, mp)`` mesh.
+- ``dp``: data parallel — batches sharded over axis 0; XLA inserts the
+  gradient ``psum`` automatically under jit (GSPMD), riding ICI.
+- ``mp``: tensor parallel over the encoder — attention q/k/v projections and
+  the FFN hidden dim are sharded column-wise, out projections row-wise, so
+  each layer needs exactly one all-reduce per sublayer (Megatron layout).
+
+The model is small (HuBERT-base 9L), so DP is the production default; TP is
+provided for completeness and validated on a simulated CPU mesh by
+``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (regex over param path, PartitionSpec). First match wins; default replicate.
+TP_RULES = (
+    (r"attention/(q_proj|k_proj|v_proj)/kernel$", P(None, "mp")),
+    (r"attention/(q_proj|k_proj|v_proj)/bias$", P("mp")),
+    (r"attention/out_proj/kernel$", P("mp", None)),
+    (r"intermediate_dense/kernel$", P(None, "mp")),
+    (r"intermediate_dense/bias$", P("mp")),
+    (r"output_dense/kernel$", P("mp", None)),
+)
+
+
+def make_mesh(
+    dp: Optional[int] = None, mp: int = 1, devices=None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        assert n % mp == 0, (n, mp)
+        dp = n // mp
+    assert dp * mp <= n, f"mesh {dp}x{mp} exceeds {n} devices"
+    arr = np.array(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(arr, axis_names=("dp", "mp"))
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def hubert_param_specs(params, use_tp: bool = True):
+    """PartitionSpec tree for a HubertModel param pytree."""
+
+    def spec_for(path, leaf):
+        if use_tp:
+            s = _path_str(path)
+            for pat, spec in TP_RULES:
+                if re.search(pat, s):
+                    return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh, use_tp: bool = True):
+    specs = hubert_param_specs(params, use_tp=use_tp)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard array leaves over the dp axis (axis 0)."""
+
+    def put(x):
+        if x is None:
+            return None
+        spec = P("dp", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
+
+
+def replicated(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

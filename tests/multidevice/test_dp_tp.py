@@ -1,0 +1,93 @@
+"""Multi-device tests on a simulated 8-CPU-device mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sylber_tpu.models.hubert import HubertConfig, HubertModel
+from sylber_tpu.parallel.mesh import (
+    hubert_param_specs, make_mesh, replicated, shard_batch, shard_params)
+from sylber_tpu.train.distill import (
+    DistillConfig, init_train_state, make_train_step)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 simulated devices"
+)
+
+TINY = HubertConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=128,
+    conv_dim=(16,) * 7,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    precision="default",
+)
+
+
+def _batch(rng, B=8, L=4800):
+    return {
+        "input_values": jnp.asarray(rng.randn(B, L).astype(np.float32)),
+        "attention_mask": jnp.ones((B, L), jnp.int32),
+        "noise": jnp.asarray(rng.randn(B, L).astype(np.float32)),
+        "segments": None,
+    }
+
+
+def test_tp_forward_matches_single_device():
+    mesh = make_mesh(dp=1, mp=4)
+    model = HubertModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0), example_len=4800)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 4800).astype(np.float32))
+
+    ref = model.apply({"params": params}, wav)
+
+    sharded = shard_params(params, mesh, use_tp=True)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p, w: model.apply({"params": p}, w))(sharded, wav)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_dp_tp_train_step_runs_and_matches():
+    cfg = DistillConfig(model=TINY, segment_online=True,
+                        merge_threshold_range=(0.8, 0.9),
+                        use_train_thrupdate=True, do_noise_augment=True,
+                        lr=1e-3, warmup_steps=0)
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    rng = np.random.RandomState(1)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(7)
+
+    # single-device reference
+    ref_state, ref_metrics = jax.jit(step)(state, batch, key)
+
+    # dp=4 x mp=2 mesh
+    mesh = make_mesh(dp=4, mp=2)
+    specs = hubert_param_specs(state.params)
+    sharded_state = state._replace(
+        params=shard_params(state.params, mesh),
+        ema_params=shard_params(state.ema_params, mesh),
+        opt_state=jax.tree.map(lambda x: replicated(x, mesh), state.opt_state),
+        step=replicated(state.step, mesh),
+        thresholder=jax.tree.map(lambda x: replicated(x, mesh),
+                                 state.thresholder),
+    )
+    sharded_batch = shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        new_state, metrics = jax.jit(step)(sharded_state, sharded_batch,
+                                           replicated(key, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=2e-3)
+    # params remain sharded per the TP rules
+    k = new_state.params["layer_0"]["intermediate_dense"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    # loss gradient actually applied
+    assert float(metrics["grad_norm"]) > 0

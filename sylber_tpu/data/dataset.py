@@ -1,0 +1,264 @@
+"""Host-side input pipeline: manifests, 5-s crops, noise clips, collation.
+
+Re-designs the reference's torch DataLoader stack
+(`/root/reference/sylber/dataset/collective_audio_segment.py`) as a plain
+numpy pipeline with a background prefetch thread feeding device batches:
+
+- tag-file manifests with per-corpus sampling ratios (`:19-34,47-51`);
+- wav load + resample to 16 kHz; random ``max_len`` (80 000-sample) crop
+  aligned to 320-sample frames with a 160-sample zero buffer on both ends
+  (`:72-86`);
+- precomputed segment ``.npy`` loading, cropped/clipped to the window
+  (`:88-95`);
+- random DNS noise clip with random placement (`:101-115`);
+- Wav2Vec2Processor-equivalent per-utterance zero-mean/unit-var
+  normalization before padding (`:122-142`; (x-mean)/sqrt(var+1e-7), biased
+  variance over the unpadded samples);
+- ``dummy_len`` fake epoch length under ratio sampling (`:31-34`).
+
+Batches are dicts of numpy arrays with static shapes:
+input_values/attention_mask/noise (B, max_len+320) and
+segments (B, MS, 2) + num_segments (B,) where MS = max_len/320 + 1.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.audio import load_wav, resample
+
+FRAME_SIZE = 320
+BUFFER_SIZE = 160
+
+
+def _zero_mean_unit_var(x: np.ndarray) -> np.ndarray:
+    """Wav2Vec2FeatureExtractor normalization (biased var, eps 1e-7)."""
+    return ((x - x.mean()) / np.sqrt(x.var() + 1e-7)).astype(np.float32)
+
+
+def load_manifest(files: Sequence[Tuple[float, str]]) -> List[Tuple[float, List[str]]]:
+    """[(ratio, tag_file_path), ...] -> [(ratio, [tags...]), ...]."""
+    out = []
+    for ratio, path in files:
+        with open(path) as f:
+            tags = [t.rstrip() for t in f if t.strip()]
+        out.append((float(ratio), tags))
+    return out
+
+
+class SpeechDataset:
+    """Random-access sampler of cropped utterances (+ optional segments/noise)."""
+
+    def __init__(
+        self,
+        wav_dirs: Sequence[str],
+        tags: List[Tuple[float, List[str]]],
+        data_dir: Optional[str] = None,
+        max_len: int = 80_000,
+        dummy_len: int = 300_000,
+        sample_by_ratio: bool = True,
+        noise_dir: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.wav_dirs = [Path(d) for d in wav_dirs]
+        self.data_dir = Path(data_dir) if data_dir else None
+        if len(tags) == 1:
+            sample_by_ratio = False
+            self.flat_tags = tags[0][1]
+        self.sample_by_ratio = sample_by_ratio
+        if sample_by_ratio:
+            ratios = np.array([r for r, _ in tags], np.float64)
+            self.ratios = ratios / ratios.sum()
+            self.tag_groups = [ts for _, ts in tags]
+            self._len = dummy_len
+        else:
+            self.ratios = None
+            self._len = len(self.flat_tags)
+        self.max_len = max_len
+        self.max_frames = max_len // FRAME_SIZE
+        if noise_dir is not None:
+            nd = Path(noise_dir)
+            self.noise_files = sorted(nd.glob("*.wav")) + sorted(nd.glob("*.flac"))
+        else:
+            self.noise_files = None
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        return self._len
+
+    def _pick(self, i: int):
+        if self.sample_by_ratio:
+            di = self.rng.choice(len(self.ratios), p=self.ratios)
+            group = self.tag_groups[di]
+            tag = group[int(self.rng.uniform() * len(group)) % len(group)]
+            return tag, self.wav_dirs[di]
+        return self.flat_tags[i], self.wav_dirs[0]
+
+    def _load_audio(self, wav_dir: Path, tag: str) -> np.ndarray:
+        for ext in (".wav", ".flac", ".ogg"):
+            p = wav_dir / f"{tag}{ext}"
+            if p.exists():
+                wav, sr = load_wav(p)
+                return resample(wav, sr)[0]
+        raise FileNotFoundError(f"{tag} under {wav_dir}")
+
+    def __getitem__(self, i: int) -> Dict:
+        tag, wav_dir = self._pick(i)
+        wav = self._load_audio(wav_dir, tag)
+
+        frame_len = len(wav) // FRAME_SIZE
+        wav = wav[: frame_len * FRAME_SIZE]
+        if frame_len > self.max_frames:
+            offset = self.rng.randint(frame_len - self.max_frames)
+            wav = wav[offset * FRAME_SIZE: offset * FRAME_SIZE + self.max_len]
+            s, e = offset, offset + self.max_frames
+        else:
+            s, e = 0, self.max_frames
+        wav = np.concatenate([
+            np.zeros(BUFFER_SIZE, wav.dtype), wav, np.zeros(BUFFER_SIZE, wav.dtype)
+        ])
+
+        segments = None
+        if self.data_dir is not None:
+            raw = np.load(self.data_dir / f"{tag}.npy")
+            keep = []
+            for s_, e_ in raw:
+                if min(e_, e) - max(s_, s) > 0:
+                    keep.append([s_ - s, e_ - s])
+            segments = (np.array(keep, np.int64).clip(0, self.max_frames)
+                        if keep else np.zeros((0, 2), np.int64))
+
+        noise = None
+        if self.noise_files:
+            nf = self.noise_files[int(self.rng.uniform() * len(self.noise_files))
+                                  % len(self.noise_files)]
+            nwav, nsr = load_wav(nf)
+            nwav = resample(nwav, nsr)[0]
+            if len(nwav) > len(wav):
+                p = int(self.rng.uniform() * (len(nwav) - len(wav)))
+                nwav = nwav[p: p + len(wav)]
+            wp = int(max(0.0, self.rng.uniform() * (len(wav) - len(nwav))))
+            noise = np.zeros_like(wav)
+            noise[wp: wp + len(nwav)] = nwav
+
+        return {"wav": wav, "segments": segments, "noise": noise, "tag": tag,
+                "range": (s, e)}
+
+    def collate(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+        B = len(items)
+        max_l = max(len(it["wav"]) for it in items)
+        input_values = np.zeros((B, max_l), np.float32)
+        attention_mask = np.zeros((B, max_l), np.int32)
+        for i, it in enumerate(items):
+            w = _zero_mean_unit_var(it["wav"])
+            input_values[i, : len(w)] = w
+            attention_mask[i, : len(w)] = 1
+        batch = {"input_values": input_values, "attention_mask": attention_mask}
+
+        if items[0]["segments"] is not None:
+            MS = self.max_frames + 1
+            segs = np.zeros((B, MS, 2), np.int32)
+            counts = np.zeros((B,), np.int32)
+            for i, it in enumerate(items):
+                k = min(len(it["segments"]), MS)
+                segs[i, :k] = it["segments"][:k]
+                counts[i] = k
+            batch["segments"] = segs
+            batch["num_segments"] = counts
+        else:
+            batch["segments"] = None
+
+        if items[0]["noise"] is not None:
+            noise = np.zeros((B, max_l), np.float32)
+            for i, it in enumerate(items):
+                n = _zero_mean_unit_var(it["noise"]) if it["noise"].std() > 0 \
+                    else it["noise"].astype(np.float32)
+                noise[i, : len(n)] = n
+            batch["noise"] = noise
+        return batch
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                       batch_size):
+            idx = order[i: i + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            yield self.collate([self[j] for j in idx])
+
+
+def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch, keeping host IO off the device critical
+    path (replaces the reference's 16 DataLoader workers)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+class SyntheticSpeechDataset(SpeechDataset):
+    """In-memory synthetic corpus for tests/smoke runs (no audio on disk)."""
+
+    def __init__(self, n_utts: int = 32, max_len: int = 80_000,
+                 with_segments: bool = True, with_noise: bool = True,
+                 seed: int = 0, utt_seconds: Tuple[float, float] = (2.0, 8.0)):
+        self.max_len = max_len
+        self.max_frames = max_len // FRAME_SIZE
+        self.rng = np.random.RandomState(seed)
+        self._len = n_utts
+        self.sample_by_ratio = False
+        self.with_segments = with_segments
+        self.with_noise = with_noise
+        self.data_dir = "synthetic" if with_segments else None
+        self.noise_files = ["synthetic"] if with_noise else None
+        self.utt_seconds = utt_seconds
+
+    def __getitem__(self, i: int) -> Dict:
+        rng = np.random.RandomState(hash((i, 1337)) % (2 ** 31))
+        n = int(rng.uniform(*self.utt_seconds) * 16000)
+        t = np.arange(n) / 16000.0
+        f0 = 120 + 30 * np.sin(2 * np.pi * 1.3 * t)
+        env = np.clip(np.sin(2 * np.pi * 4.27 * t), 0, None)
+        wav = (np.sin(2 * np.pi * f0 * t) * env
+               + 0.01 * rng.randn(n)).astype(np.float32)
+
+        frame_len = len(wav) // FRAME_SIZE
+        wav = wav[: frame_len * FRAME_SIZE]
+        if frame_len > self.max_frames:
+            off = rng.randint(frame_len - self.max_frames)
+            wav = wav[off * FRAME_SIZE: off * FRAME_SIZE + self.max_len]
+            frame_len = self.max_frames
+        wav = np.concatenate([np.zeros(BUFFER_SIZE, np.float32), wav,
+                              np.zeros(BUFFER_SIZE, np.float32)])
+
+        segments = None
+        if self.with_segments:
+            bounds = np.sort(rng.choice(np.arange(1, max(frame_len, 3)),
+                                        size=min(12, max(frame_len - 2, 2)),
+                                        replace=False))
+            segments = bounds[: (len(bounds) // 2) * 2].reshape(-1, 2)
+        noise = rng.randn(len(wav)).astype(np.float32) * 0.1 \
+            if self.with_noise else None
+        return {"wav": wav, "segments": segments, "noise": noise,
+                "tag": f"synt{i}", "range": (0, frame_len)}

@@ -1,0 +1,194 @@
+"""Training orchestration: config -> data -> sharded jitted loop -> Orbax.
+
+Replaces the reference's Hydra + Lightning Trainer stack
+(`/root/reference/train.py:34-105`): explicit step loop, DP sharding over the
+device mesh (instead of DDP process spawning), async Orbax checkpointing with
+auto-resume, JSONL metrics, optional jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import SpeechDataset, SyntheticSpeechDataset, load_manifest, prefetch
+from ..data.noise import NoiseMixerConfig
+from ..io.checkpoint import TrainCheckpointManager
+from ..models.hubert import HubertConfig
+from ..parallel.mesh import make_mesh, replicated, shard_batch, shard_params
+from .distill import DistillConfig, TrainState, init_train_state, make_eval_step, make_train_step
+
+
+def distill_config_from_dict(model_cfg: Dict[str, Any]) -> DistillConfig:
+    """Map reference-style `model:` yaml keys onto DistillConfig."""
+    m = dict(model_cfg)
+    extra = {k: tuple(v) if isinstance(v, list) else v
+             for k, v in m.get("hubert", {}).items()}
+    hubert = HubertConfig(
+        num_hidden_layers=m.get("encoding_layer", 9),
+        dtype=jnp.dtype(m.get("dtype", "float32")),
+        precision=m.get("precision", "default"),
+        **extra,
+    )
+    noise = NoiseMixerConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in m.get("noise_mixer_configs", {}).items()
+    })
+    return DistillConfig(
+        model=hubert,
+        ema_decay=m.get("ema_decay", 1.0),
+        segment_online=m.get("segment_online", False),
+        merge_threshold_range=tuple(m.get("merge_threshold_range", (0.5, 0.7))),
+        use_train_thrupdate=m.get("use_train_thrupdate", False),
+        mask_prob=m.get("mask_prob", 0.0),
+        min_mask_n=m.get("min_mask_n", 0),
+        max_mask_set=m.get("max_mask_set", 1),
+        do_noise_augment=m.get("do_noise_augment", False),
+        noise_mixer=noise,
+        lr=m.get("lr", 1e-4),
+        warmup_steps=m.get("warmup_steps", 500),
+        total_steps=m.get("total_steps", 200_000),
+        min_factor=m.get("min_factor", 1.0),
+        hold_steps=m.get("hold_steps", 0),
+        loss_scale=m.get("loss_coefs", {}).get("distillation_loss", 1.0),
+    )
+
+
+def build_dataset(data_cfg: Dict[str, Any], split: str = "train",
+                  seed: int = 0) -> SpeechDataset:
+    d = dict(data_cfg)
+    if d.get("synthetic"):
+        return SyntheticSpeechDataset(
+            n_utts=d.get("n_utts", 64), max_len=d.get("max_len", 80_000),
+            with_segments=not d.get("segment_online_data", False),
+            seed=seed)
+    files_key = {"train": "train_files", "valid": "val_files",
+                 "test": "test_files"}[split]
+    tags = load_manifest(d[files_key])
+    return SpeechDataset(
+        wav_dirs=d["wav_dirs"], tags=tags, data_dir=d.get("data_dir"),
+        max_len=d.get("max_len", 80_000), dummy_len=d.get("dummy_len", 300_000),
+        noise_dir=d.get("noise_dir"), seed=seed)
+
+
+def _epoch_stream(dataset: SpeechDataset, batch_size: int,
+                  shuffle: bool) -> Iterator[Dict[str, np.ndarray]]:
+    while True:
+        yield from dataset.batches(batch_size, shuffle=shuffle)
+
+
+class MetricLogger:
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self._f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+
+    def log(self, step: int, metrics: Dict[str, Any], prefix: str = "train"):
+        row = {"step": step, "prefix": prefix, "time": time.time()}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+        return row
+
+
+def train(
+    cfg: Dict[str, Any],
+    out_dir: str = "runs/sylber",
+    max_steps: Optional[int] = None,
+    log_every: int = 50,
+    ckpt_every: int = 1000,
+    val_every: Optional[int] = None,
+    limit_val_batches: int = 100,
+    init_params: Any = None,
+    profile_steps: Optional[tuple] = None,
+) -> TrainState:
+    dcfg = distill_config_from_dict(cfg.get("model", {}))
+    data_cfg = cfg.get("data", {})
+    batch_size = data_cfg.get("batch_size", 8)
+    max_steps = max_steps or cfg.get("max_steps", dcfg.total_steps)
+
+    mesh = make_mesh(mp=1)
+    dp = mesh.shape["dp"]
+    assert batch_size % dp == 0, (batch_size, dp)
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    thr_kwargs = cfg.get("model", {}).get("thresholder_configs") or {}
+    state = init_train_state(dcfg, rng, params=init_params,
+                             thresholder_kwargs=thr_kwargs)
+    state = state._replace(
+        params=shard_params(state.params, mesh, use_tp=False),
+        ema_params=shard_params(state.ema_params, mesh, use_tp=False),
+        opt_state=jax.tree.map(lambda x: replicated(x, mesh), state.opt_state),
+        step=replicated(state.step, mesh),
+        thresholder=jax.tree.map(lambda x: replicated(x, mesh),
+                                 state.thresholder),
+    )
+
+    mgr = TrainCheckpointManager(os.path.join(out_dir, "ckpts"),
+                                 save_interval_steps=ckpt_every)
+    if mgr.latest_step is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {mgr.latest_step}")
+
+    logger = MetricLogger(out_dir)
+    train_ds = build_dataset(data_cfg, "train", seed=cfg.get("seed", 0))
+    stream = prefetch(_epoch_stream(train_ds, batch_size, shuffle=True))
+
+    # buffer donation halves train-state memory on TPU; the XLA CPU runtime
+    # deadlocks in collective thunks when arguments are donated (observed on
+    # the simulated multi-device CPU mesh), so donate only off-CPU.
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+    step_fn = jax.jit(make_train_step(dcfg), donate_argnums=donate)
+    eval_fn = jax.jit(make_eval_step(dcfg))
+
+    start = int(jax.device_get(state.step))
+    t_last, s_last = time.perf_counter(), start
+    with jax.set_mesh(mesh):
+        for step_i in range(start, max_steps):
+            batch = shard_batch(next(stream), mesh)
+            rng, krng = jax.random.split(rng)
+            if profile_steps and step_i == profile_steps[0]:
+                jax.profiler.start_trace(os.path.join(out_dir, "profile"))
+            state, metrics = step_fn(state, batch, replicated(krng, mesh))
+            if profile_steps and step_i == profile_steps[1]:
+                jax.profiler.stop_trace()
+
+            if (step_i + 1) % log_every == 0:
+                m = jax.device_get(metrics)
+                now = time.perf_counter()
+                m["steps_per_sec"] = (step_i + 1 - s_last) / (now - t_last)
+                t_last, s_last = now, step_i + 1
+                row = logger.log(step_i + 1, m)
+                print(f"step {step_i + 1}: " + " ".join(
+                    f"{k}={v:.4g}" for k, v in row.items()
+                    if k not in ("time", "prefix")))
+            mgr.save(step_i + 1, jax.device_get(state))
+
+            if val_every and (step_i + 1) % val_every == 0:
+                val_ds = build_dataset(data_cfg, "valid",
+                                       seed=cfg.get("seed", 0) + 1)
+                losses = []
+                for vb, vbatch in enumerate(
+                        val_ds.batches(batch_size, shuffle=False)):
+                    if vb >= limit_val_batches:
+                        break
+                    vm = eval_fn(state, shard_batch(vbatch, mesh),
+                                 replicated(jax.random.PRNGKey(vb), mesh))
+                    losses.append(float(vm["loss"]))
+                if losses:
+                    logger.log(step_i + 1, {"loss": float(np.mean(losses))},
+                               prefix="val")
+                    print(f"  val loss: {np.mean(losses):.4f}")
+
+    mgr.wait()
+    mgr.close()
+    return state

@@ -1,0 +1,68 @@
+"""Full training-loop smoke: synthetic corpus, checkpoint save + auto-resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY_MODEL = {
+    "encoding_layer": 1,
+    "hubert": {
+        "hidden_size": 32,
+        "num_attention_heads": 4,
+        "intermediate_size": 64,
+        "conv_dim": [16] * 7,
+        "num_conv_pos_embeddings": 16,
+        "num_conv_pos_embedding_groups": 4,
+    },
+    "precision": "default",
+    "lr": 1e-3,
+    "warmup_steps": 2,
+    "total_steps": 50,
+    "do_noise_augment": True,
+}
+
+
+def _cfg(stage2=False):
+    model = dict(TINY_MODEL)
+    if stage2:
+        model.update(segment_online=True, merge_threshold_range=[0.8, 0.9],
+                     use_train_thrupdate=True,
+                     thresholder_configs={"signal_mean": 6.1,
+                                          "signal_var": 0.87,
+                                          "noise_mean": 0.34,
+                                          "noise_var": 0.34})
+    return {
+        "name": "smoke",
+        "seed": 0,
+        "model": model,
+        "data": {"synthetic": True, "n_utts": 16, "max_len": 16000,
+                 "batch_size": 8, "segment_online_data": stage2},
+        "max_steps": 4,
+    }
+
+
+def test_loop_stage1_and_resume(tmp_path):
+    from sylber_tpu.train.loop import train
+
+    out = str(tmp_path / "run")
+    state = train(_cfg(), out_dir=out, max_steps=3, log_every=1, ckpt_every=1)
+    assert int(np.asarray(state.step)) == 3
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert all(np.isfinite(r["loss"]) for r in rows if r["prefix"] == "train")
+
+    # resume continues from step 3
+    state2 = train(_cfg(), out_dir=out, max_steps=5, log_every=1, ckpt_every=1)
+    assert int(np.asarray(state2.step)) == 5
+
+
+def test_loop_stage2_online(tmp_path):
+    from sylber_tpu.train.loop import train
+
+    out = str(tmp_path / "run2")
+    state = train(_cfg(stage2=True), out_dir=out, max_steps=2, log_every=1,
+                  ckpt_every=10)
+    assert int(np.asarray(state.step)) == 2
+    thr = float(np.asarray(state.thresholder.signal_mean))
+    assert np.isfinite(thr) and thr != 6.1  # stats moved

@@ -138,3 +138,125 @@ def load_torch_checkpoint(path: str, num_hidden_layers: int = 9):
             }
             break
     return hubert_params_from_torch(obj, num_hidden_layers=num_hidden_layers)
+
+
+# ---------------- SegmentSynthesis (flow-matching) checkpoints ----------------
+
+def _maybe(sd, key):
+    return _np(sd[key]) if key in sd else None
+
+
+def regressor_params_from_torch(sd: Mapping[str, Any], depth: int = 8,
+                                prefix: str = "regressor.") -> Dict[str, Any]:
+    """Map the reference Regressor state_dict
+    (`/root/reference/sylber/model/flowmatching.py:474-560`) onto
+    `sylber_tpu.models.voicebox.Regressor` params. Weight-norm-free; the
+    unused text-embedding (`to_cond_emb`) and `null_cond` entries are
+    skipped (they do not participate in the SegmentSynthesis path)."""
+    g = lambda k: _np(sd[prefix + k])
+
+    params: Dict[str, Any] = {
+        "proj_in": {"kernel": g("proj_in.weight").T,
+                    "bias": g("proj_in.bias")},
+        "time_freqs": g("sinu_pos_emb.0.weights"),
+        "time_mlp": {"kernel": g("sinu_pos_emb.1.weight").T,
+                     "bias": g("sinu_pos_emb.1.bias")},
+        "to_embed": {"kernel": g("to_embed.weight").T,
+                     "bias": g("to_embed.bias")},
+        "conv_pos_embed": {
+            # torch depthwise conv (dim, 1, k) -> flax (k, 1, dim)
+            "kernel": np.transpose(g("conv_embed.dw_conv1d.0.weight"),
+                                   (2, 1, 0)),
+            "bias": g("conv_embed.dw_conv1d.0.bias"),
+        },
+        "to_pred": {"kernel": g("to_pred.weight").T},
+    }
+
+    tr: Dict[str, Any] = {}
+    if prefix + "transformer.register_tokens" in sd:
+        tr["register_tokens"] = g("transformer.register_tokens")
+    for i in range(depth):
+        lp = f"transformer.layers.{i}."
+        # ModuleList slots: 0 skip_combiner|None, 1 gateloop|None,
+        # 2 attn prenorm, 3 attention, 4 ff prenorm, 5 feedforward
+        if prefix + lp + "0.weight" in sd:
+            tr[f"skip_combiner_{i}"] = {"kernel": g(lp + "0.weight").T,
+                                        "bias": g(lp + "0.bias")}
+        tr[f"attn_norm_{i}"] = {
+            "to_gamma": {"kernel": g(lp + "2.to_gamma.weight").T,
+                         "bias": g(lp + "2.to_gamma.bias")},
+            "to_beta": {"kernel": g(lp + "2.to_beta.weight").T,
+                        "bias": g(lp + "2.to_beta.bias")},
+        }
+        attn = {
+            "to_qkv": {"kernel": g(lp + "3.to_qkv.weight").T},
+            "to_out": {"kernel": g(lp + "3.to_out.weight").T},
+        }
+        if prefix + lp + "3.q_norm.gamma" in sd:
+            attn["q_norm_gamma"] = g(lp + "3.q_norm.gamma")
+            attn["k_norm_gamma"] = g(lp + "3.k_norm.gamma")
+        tr[f"attn_{i}"] = attn
+        tr[f"ff_norm_{i}"] = {
+            "to_gamma": {"kernel": g(lp + "4.to_gamma.weight").T,
+                         "bias": g(lp + "4.to_gamma.bias")},
+            "to_beta": {"kernel": g(lp + "4.to_beta.weight").T,
+                        "bias": g(lp + "4.to_beta.bias")},
+        }
+        tr[f"ff_{i}"] = {
+            "proj_in": {"kernel": g(lp + "5.0.weight").T,
+                        "bias": g(lp + "5.0.bias")},
+            "proj_out": {"kernel": g(lp + "5.3.weight").T,
+                         "bias": g(lp + "5.3.bias")},
+        }
+    tr["final_norm"] = {"gamma": g("transformer.final_norm.gamma")}
+    params["transformer"] = tr
+    return params
+
+
+def input_mlp_params_from_torch(sd: Mapping[str, Any],
+                                n_hidden: int = 2,
+                                prefix: str = "input_model.") -> Dict[str, Any]:
+    """Map the reference input MLP (`segment_synthesis.py:35-53`; Sequential
+    [Linear, RFF] * n_hidden + Linear) onto `sylber_tpu.synthesis.InputMLP`."""
+    g = lambda k: _np(sd[prefix + "mlp." + k])
+    params: Dict[str, Any] = {}
+    for i in range(n_hidden):
+        lin, rff = 2 * i, 2 * i + 1
+        params[f"in_{i}"] = {"kernel": g(f"{lin}.weight").T,
+                             "bias": g(f"{lin}.bias")}
+        params[f"rff_{i}"] = {
+            "linear1": {"kernel": g(f"{rff}.linear1.weight").T,
+                        "bias": g(f"{rff}.linear1.bias")},
+            "linear2": {"kernel": g(f"{rff}.linear2.weight").T,
+                        "bias": g(f"{rff}.linear2.bias")},
+            "norm": {"scale": g(f"{rff}.norm.weight"),
+                     "bias": g(f"{rff}.norm.bias")},
+        }
+    params["out"] = {"kernel": g(f"{2 * n_hidden}.weight").T,
+                     "bias": g(f"{2 * n_hidden}.bias")}
+    return params
+
+
+def load_synthesis_checkpoint(path: str, config) -> Any:
+    """Load a torch SegmentSynthesis checkpoint (e.g. the reference's
+    `synthesis_sylber.ckpt`) into `SynthesisParams`."""
+    import torch
+
+    from ..synthesis import SynthesisParams
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if any(k.startswith("net.") for k in obj):
+        obj = {k[len("net."):]: v for k, v in obj.items()
+               if k.startswith("net.")}
+    hubert_sd = {k[len("speech_model."):]: v for k, v in obj.items()
+                 if k.startswith("speech_model.")}
+    return SynthesisParams(
+        hubert=hubert_params_from_torch(
+            hubert_sd, num_hidden_layers=config.encoding_layer),
+        input_mlp=input_mlp_params_from_torch(
+            obj, n_hidden=len(config.input_hidden_dims)),
+        regressor=regressor_params_from_torch(
+            obj, depth=config.regressor.depth),
+    )

@@ -1,0 +1,133 @@
+"""Long-form chunked segmentation: stitching correctness + API smoke."""
+
+import numpy as np
+import pytest
+
+from sylber_tpu.longform import LongFormSegmenter
+from sylber_tpu.ops.segment_np import segment_oracle
+
+
+class _FakeSegmenter:
+    """Serves windows of a precomputed global states track, so stitching can
+    be validated against the oracle run on the full track."""
+
+    def __init__(self, states, nt, mt):
+        self.states, self.nt, self.mt = states, nt, mt
+
+    def process(self, wavs, in_second=False, norm_threshold=None,
+                merge_threshold=None):
+        outs = []
+        for w in wavs:
+            lo = w[0]          # encoded window start frame
+            n = w[1]           # frames in window
+            st = self.states[lo: lo + n]
+            segs = segment_oracle(st, self.nt, self.mt)
+            outs.append({"segments": segs, "hidden_states": st})
+        return outs
+
+
+def _track(rng, L=900, d=32):
+    states = np.zeros((L, d), np.float32)
+    i = 0
+    while i < L:
+        span = int(rng.randint(3, 15))
+        span = min(span, L - i)
+        if rng.rand() < 0.3:
+            states[i:i + span] = rng.randn(span, d) * 0.05
+        else:
+            proto = rng.randn(d)
+            proto = proto / np.linalg.norm(proto) * rng.uniform(4, 9)
+            states[i:i + span] = proto + rng.randn(span, d) * 0.1
+        i += span
+    return states
+
+
+def test_stitching_matches_full_pass_on_shared_states():
+    """When window states equal slices of one global track (no attention
+    edge effects), stitched segments must equal the full-pass segmentation
+    away from (and mostly at) cut points."""
+    rng = np.random.RandomState(0)
+    states = _track(rng)
+    nt, mt = 2.0, 0.8
+    want = segment_oracle(states, nt, mt)
+
+    lf = LongFormSegmenter.__new__(LongFormSegmenter)
+    lf.segmenter = _FakeSegmenter(states, nt, mt)
+    lf.chunk_frames = 300
+    lf.overlap_frames = 60
+    lf.batch_windows = 4
+
+    step = lf.chunk_frames - lf.overlap_frames
+    L = len(states)
+    starts = list(range(0, max(L - lf.overlap_frames, 1), step))
+    windows = [(s, min(lf.chunk_frames, L - s)) for s in starts]
+    results = lf.segmenter.process(windows)
+    hidden, segs = lf._stitch(starts, results)
+
+    assert hidden.shape == states.shape
+    np.testing.assert_array_equal(hidden, states)
+    segs = np.asarray(segs)
+    # structural invariants
+    assert (segs[:, 1] > segs[:, 0]).all()
+    assert (segs[1:, 0] >= segs[:-1, 1]).all()  # non-overlapping, ordered
+    # boundary agreement with the full pass: every full-pass boundary that is
+    # far from any cut must appear exactly
+    cuts = set()
+    for i in range(len(starts) - 1):
+        cuts.update(range(starts[i + 1] - 5, starts[i] + lf.chunk_frames + 5))
+    got_bounds = set(segs.flatten().tolist())
+    missing = [b for b in want.flatten().tolist()
+               if b not in got_bounds and b not in cuts]
+    assert not missing, f"lost boundaries away from cuts: {missing[:10]}"
+    # overall boundary F1 should be high even counting cut regions
+    want_b = set(want.flatten().tolist())
+    inter = len(got_bounds & want_b)
+    f1 = 2 * inter / (len(got_bounds) + len(want_b))
+    assert f1 > 0.9, f1
+
+
+def test_longform_api_smoke():
+    import jax.numpy as jnp
+
+    from sylber_tpu.api import Segmenter
+    from sylber_tpu.models.hubert import HubertConfig
+
+    seg = Segmenter(params=None, model_ckpt=None, encoding_layer=1,
+                    precision="default")
+    # shrink: build a tiny model instead
+    cfg = HubertConfig(num_hidden_layers=1, hidden_size=32,
+                       num_attention_heads=4, intermediate_size=64,
+                       conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4, precision="default")
+    from sylber_tpu.models.hubert import HubertModel
+    import jax
+
+    seg.config = cfg
+    seg.model = HubertModel(cfg)
+    seg.params = seg.model.init_params(jax.random.PRNGKey(0))
+    model, config = seg.model, seg.config
+
+    from sylber_tpu.models.hubert import feature_vector_attention_mask
+    from sylber_tpu.ops.segment import segment_batch
+
+    def _fwd(params, wavs, attention_mask, nt, mt):
+        hidden = model.apply({"params": params}, wavs, attention_mask
+                             ).astype(jnp.float32)
+        fv = feature_vector_attention_mask(config, attention_mask,
+                                           hidden.shape[1]).astype(bool)
+        return hidden, segment_batch(hidden, nt, mt, frame_valid=fv)
+
+    seg._forward_segment = jax.jit(_fwd)
+
+    lf = LongFormSegmenter(seg, chunk_seconds=5.0, overlap_seconds=1.0,
+                           batch_windows=2)
+    rng = np.random.RandomState(1)
+    wav = rng.randn(16000 * 18).astype(np.float32)  # 18 s
+    out = lf(wav=wav, in_second=False, norm_threshold=1.0,
+             merge_threshold=0.9)
+    assert out["hidden_states"].shape[0] > 800  # ~18 s * 50 Hz
+    segs = out["segments"]
+    if len(segs):
+        assert (segs[:, 1] > segs[:, 0]).all()
+        assert (segs[1:, 0] >= segs[:-1, 1]).all()
+        assert len(out["segment_features"]) == len(segs)

@@ -1,0 +1,84 @@
+"""End-to-end walkthrough (script version of the reference's demo.ipynb).
+
+1. segment an utterance into syllables,
+2. visualize the frame-similarity structure (optional, needs matplotlib),
+3. resynthesize articulatory trajectories from the segment features,
+4. (externally) decode to waveform with the SPARC coder — out of scope here,
+   exactly as in the reference (`/root/reference/README.md:92-94`).
+
+Run: python examples/demo.py --wav path/to/utt.wav \
+        [--ckpt sylber.ckpt] [--synthesis-ckpt synthesis_sylber.ckpt]
+Without checkpoints it runs random-init end to end (structure demo only).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wav", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--synthesis-ckpt", default=None)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--plot", action="store_true")
+    args = ap.parse_args()
+
+    from sylber_tpu import Segmenter
+
+    segmenter = Segmenter(model_ckpt=args.ckpt)
+    out = segmenter(wav_file=args.wav, in_second=True)
+    segments = out["segments"]
+    print(f"{len(segments)} syllable segments "
+          f"({len(segments) / max(out['hidden_states'].shape[0] / 50.0, 1e-9):.2f} tokens/s):")
+    for (s, e) in segments[:20]:
+        print(f"  [{s:7.3f}s, {e:7.3f}s)")
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        h = out["hidden_states"]
+        sim = h @ h.T / (np.linalg.norm(h, axis=1)[:, None]
+                         * np.linalg.norm(h, axis=1)[None, :] + 1e-8)
+        plt.figure(figsize=(8, 8))
+        plt.imshow(sim, origin="lower")
+        for s, e in (segments * 50).astype(int):
+            plt.axvline(s, color="w", lw=0.3)
+        plt.savefig("similarity.png", dpi=120)
+        print("wrote similarity.png")
+
+    # resynthesis: expand segment features to a frame grid, then sample
+    import yaml
+
+    from sylber_tpu import SegmentSynthesis
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "sylber_resynthesis.yaml")
+    cfg = yaml.safe_load(open(cfg_path))
+    synth = SegmentSynthesis(model_ckpt=args.synthesis_ckpt, **cfg)
+
+    # frame-level conditioning: each frame carries its segment's feature
+    n_frames = out["hidden_states"].shape[0]
+    filled = np.zeros((n_frames, out["hidden_states"].shape[1]), np.float32)
+    for (s, e), f in zip((segments * 50).astype(int),
+                         out["segment_features"]):
+        filled[s:e] = f
+    art, _ = synth.resynthesize(features=filled[None], steps=args.steps)
+    print(f"articulatory trajectory: {art.shape} "
+          f"(12 EMA dims + log-pitch + loudness)")
+    np.save("articulation.npy", art[0])
+    print("wrote articulation.npy — decode with the external SPARC coder:")
+    print("  coder.decode(ema=art[:, :12], pitch=np.exp(art[:, 12:13])*pitch_mean,")
+    print("               loudness=art[:, 13:14], spk_emb=speaker_embedding)")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,9 +56,10 @@ class Segmenter:
         length_bucket_s: float = 1.0,
         batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
         params: Optional[Dict[str, Any]] = None,
+        hubert_config: Optional[HubertConfig] = None,
         **kwargs: Any,
     ) -> None:
-        self.config = HubertConfig(
+        self.config = hubert_config or HubertConfig(
             num_hidden_layers=encoding_layer, dtype=dtype, precision=precision
         )
         self.model = HubertModel(self.config)

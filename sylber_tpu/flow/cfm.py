@@ -78,11 +78,15 @@ def sample_midpoint(
     dim_out: int,
     steps: int = 5,
     rand_scale: float = 0.0,
+    method: str = "midpoint",
 ) -> jnp.ndarray:
-    """Integrate the learned vector field with the fixed-grid midpoint rule.
+    """Integrate the learned vector field on a fixed grid.
 
-    ``apply_fn(x, times) -> dx/dt`` (conditioning closed over). Matches
-    torchdiffeq's midpoint solver on t = linspace(0, 1, steps).
+    ``apply_fn(x, times) -> dx/dt`` (conditioning closed over).
+    ``method``: "midpoint" (default, matches the reference's torchdiffeq
+    solver on t = linspace(0, 1, steps)), "euler", or "rk4" (covers the
+    reference's adaptive-torchode accuracy regime with a fixed grid —
+    adaptivity buys nothing under jit with these small step counts).
     """
     B, L, _ = cond_emb.shape
     y0 = jax.random.normal(rng, (B, L, dim_out), jnp.float32) * rand_scale
@@ -94,9 +98,19 @@ def sample_midpoint(
         t0, t1 = ts[i], ts[i + 1]
         h = t1 - t0
         k1 = apply_fn(y, t0)
-        y_mid = y + 0.5 * h * k1
-        k2 = apply_fn(y_mid, t0 + 0.5 * h)
-        return y + h * k2, None
+        if method == "euler":
+            y_new = y + h * k1
+        elif method == "midpoint":
+            k2 = apply_fn(y + 0.5 * h * k1, t0 + 0.5 * h)
+            y_new = y + h * k2
+        elif method == "rk4":
+            k2 = apply_fn(y + 0.5 * h * k1, t0 + 0.5 * h)
+            k3 = apply_fn(y + 0.5 * h * k2, t0 + 0.5 * h)
+            k4 = apply_fn(y + h * k3, t1)
+            y_new = y + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        else:
+            raise ValueError(f"unknown ODE method {method!r}")
+        return y_new, None
 
     y, _ = jax.lax.scan(body, y0, jnp.arange(steps - 1))
     return y

@@ -310,3 +310,66 @@ def expand_feature(avg_fts: jnp.ndarray, durations: jnp.ndarray) -> jnp.ndarray:
     out = [np.repeat(np.asarray(inter[b]), np.asarray(dur[b]), axis=0)
            for b in range(B)]
     return jnp.asarray(np.stack(out))
+
+
+class SynthesisTrainState(NamedTuple):
+    step: jnp.ndarray
+    params: SynthesisParams
+    opt_state: Any
+
+
+def make_synthesis_optimizer(lr: float = 1e-4, warmup_steps: int = 5000,
+                             total_steps: int = 500_000,
+                             min_factor: float = 0.05):
+    """AdamW(eps 1e-4, betas (0.9, 0.95), wd 0.1) + warmup-cosine — the
+    reference SegmentSynthesisTrainer recipe
+    (`segment_synthesis.py:244-250`)."""
+    import optax
+
+    from .train.lr import cosine_warmup_schedule
+
+    schedule = cosine_warmup_schedule(lr, warmup_steps, total_steps,
+                                      min_factor)
+    return optax.chain(
+        optax.clip_by_global_norm(0.5),
+        optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-4, weight_decay=0.1),
+    )
+
+
+def make_synthesis_train_step(synth: "SegmentSynthesis", optimizer,
+                              loss_scale: float = 1.0):
+    """Jittable ``(state, batch, rng) -> (state, metrics)``; batch needs
+    ``features`` (B, L, 768 averaged/blanked hidden states), ``art``
+    (B, L, 14 SPARC targets), optional ``mask`` (B, L). The frozen HuBERT
+    params are not updated (reference: ``speech_model.requires_grad_(False)``,
+    `segment_synthesis.py:74`)."""
+    import optax
+
+    def train_step(state: SynthesisTrainState, batch: dict, rng: jax.Array):
+        def loss_fn(trainable):
+            params = SynthesisParams(state.params.hubert,
+                                     trainable["input_mlp"],
+                                     trainable["regressor"])
+            return loss_scale * synth.loss(params, batch, rng, train=True)
+
+        trainable = {"input_mlp": state.params.input_mlp,
+                     "regressor": state.params.regressor}
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              trainable)
+        new_t = optax.apply_updates(trainable, updates)
+        new_params = SynthesisParams(state.params.hubert,
+                                     new_t["input_mlp"], new_t["regressor"])
+        metrics = {"cfm_loss": loss, "grad_norm": optax.global_norm(grads)}
+        return SynthesisTrainState(state.step + 1, new_params, opt_state), \
+            metrics
+
+    return train_step
+
+
+def init_synthesis_train_state(synth: "SegmentSynthesis",
+                               optimizer) -> SynthesisTrainState:
+    trainable = {"input_mlp": synth.params.input_mlp,
+                 "regressor": synth.params.regressor}
+    return SynthesisTrainState(jnp.zeros((), jnp.int32), synth.params,
+                               optimizer.init(trainable))

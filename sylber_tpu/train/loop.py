@@ -166,6 +166,13 @@ def train(
                 m = jax.device_get(metrics)
                 now = time.perf_counter()
                 m["steps_per_sec"] = (step_i + 1 - s_last) / (now - t_last)
+                from ..utils.profiling import hubert_train_flops, mfu
+
+                m["mfu"] = mfu(
+                    hubert_train_flops(dcfg.model, batch_size,
+                                       batch["input_values"].shape[-1]),
+                    1.0 / max(m["steps_per_sec"], 1e-9),
+                    jax.devices()[0].device_kind, dp)
                 t_last, s_last = now, step_i + 1
                 row = logger.log(step_i + 1, m)
                 print(f"step {step_i + 1}: " + " ".join(

@@ -239,3 +239,55 @@ def test_synthesis_train_loss_decreases():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_synthesis_train_step_api():
+    from sylber_tpu.synthesis import (
+        SegmentSynthesis, SynthesisConfig, init_synthesis_train_state,
+        make_synthesis_optimizer, make_synthesis_train_step)
+    from sylber_tpu.models.hubert import HubertConfig
+
+    cfg = SynthesisConfig(
+        encoding_layer=1,
+        hubert=HubertConfig(num_hidden_layers=1, hidden_size=32,
+                            num_attention_heads=4, intermediate_size=64,
+                            conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                            num_conv_pos_embedding_groups=4,
+                            precision="default"),
+        regressor=TINY_REG,
+        input_output_dim=16, input_hidden_dims=(32,),
+    )
+    synth = SegmentSynthesis(config=cfg)
+    opt = make_synthesis_optimizer(lr=1e-3, warmup_steps=1)
+    state = init_synthesis_train_state(synth, opt)
+    step = jax.jit(make_synthesis_train_step(synth, opt))
+    rng = np.random.RandomState(0)
+    batch = {
+        "features": jnp.asarray(rng.randn(2, 10, 32).astype(np.float32)),
+        "art": jnp.asarray(rng.randn(2, 10, 14).astype(np.float32)),
+    }
+    hubert_before = state.params.hubert
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["cfm_loss"]))
+    # frozen encoder: untouched
+    same = jax.tree.map(lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+                        state.params.hubert, hubert_before)
+    assert all(jax.tree.leaves(same))
+    assert int(state.step) == 3
+
+
+def test_ode_methods_agree_on_smooth_field():
+    from sylber_tpu.flow.cfm import sample_midpoint
+
+    cond = jnp.zeros((1, 4, 14))
+
+    def field(x, t):
+        return -x + 0.5
+
+    outs = {m: np.asarray(sample_midpoint(field, jax.random.PRNGKey(0), cond,
+                                          14, steps=40, rand_scale=1.0,
+                                          method=m))
+            for m in ("euler", "midpoint", "rk4")}
+    np.testing.assert_allclose(outs["midpoint"], outs["rk4"], atol=1e-3)
+    np.testing.assert_allclose(outs["euler"], outs["rk4"], atol=2e-2)

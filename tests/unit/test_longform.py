@@ -87,37 +87,14 @@ def test_stitching_matches_full_pass_on_shared_states():
 
 
 def test_longform_api_smoke():
-    import jax.numpy as jnp
-
     from sylber_tpu.api import Segmenter
     from sylber_tpu.models.hubert import HubertConfig
 
-    seg = Segmenter(params=None, model_ckpt=None, encoding_layer=1,
-                    precision="default")
-    # shrink: build a tiny model instead
     cfg = HubertConfig(num_hidden_layers=1, hidden_size=32,
                        num_attention_heads=4, intermediate_size=64,
                        conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
                        num_conv_pos_embedding_groups=4, precision="default")
-    from sylber_tpu.models.hubert import HubertModel
-    import jax
-
-    seg.config = cfg
-    seg.model = HubertModel(cfg)
-    seg.params = seg.model.init_params(jax.random.PRNGKey(0))
-    model, config = seg.model, seg.config
-
-    from sylber_tpu.models.hubert import feature_vector_attention_mask
-    from sylber_tpu.ops.segment import segment_batch
-
-    def _fwd(params, wavs, attention_mask, nt, mt):
-        hidden = model.apply({"params": params}, wavs, attention_mask
-                             ).astype(jnp.float32)
-        fv = feature_vector_attention_mask(config, attention_mask,
-                                           hidden.shape[1]).astype(bool)
-        return hidden, segment_batch(hidden, nt, mt, frame_valid=fv)
-
-    seg._forward_segment = jax.jit(_fwd)
+    seg = Segmenter(hubert_config=cfg)
 
     lf = LongFormSegmenter(seg, chunk_seconds=5.0, overlap_seconds=1.0,
                            batch_windows=2)

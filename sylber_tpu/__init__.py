@@ -9,14 +9,18 @@ mirrors the reference package (`/root/reference/sylber/__init__.py`):
 
 from .api import Segmenter
 
-__all__ = ["Segmenter", "SegmentSynthesis"]
+__all__ = ["Segmenter", "Sylber", "SegmentSynthesis"]
 __version__ = "0.1.0"
 
 
 def __getattr__(name):
-    # lazy import: the synthesis stack pulls in the flow-matching model
+    # lazy imports keep `import sylber_tpu` light
     if name == "SegmentSynthesis":
         from .synthesis import SegmentSynthesis
 
         return SegmentSynthesis
+    if name == "Sylber":
+        from .models.sylber import Sylber
+
+        return Sylber
     raise AttributeError(name)

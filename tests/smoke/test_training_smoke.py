@@ -115,3 +115,24 @@ def test_span_masking_active():
     batch = _batch(rng)
     state, metrics = step(state, batch, jax.random.PRNGKey(5))
     assert int(metrics["masked_frames"]) > 0
+
+
+def test_sylber_facade():
+    """Reference-style object API over the functional training stack."""
+    import jax.numpy as jnp
+
+    from sylber_tpu import Sylber
+
+    model = Sylber(hubert_config=TINY, segment_online=True,
+                   merge_threshold_range=(0.8, 0.9),
+                   thresholder_configs={"signal_mean": 6.1,
+                                        "signal_var": 0.87,
+                                        "noise_mean": 0.34,
+                                        "noise_var": 0.34})
+    rng = np.random.RandomState(0)
+    wav = rng.randn(2, 4800).astype(np.float32)
+    model.ema_step()
+    out = model(wav, noise=rng.randn(2, 4800).astype(np.float32))
+    assert np.isfinite(float(out["distillation_loss"]))
+    feats, segments, avg = model.segment(wav)
+    assert feats.shape[0] == 2 and len(segments) == 2

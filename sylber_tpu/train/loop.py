@@ -183,9 +183,11 @@ def train(
             if val_every and (step_i + 1) % val_every == 0:
                 val_ds = build_dataset(data_cfg, "valid",
                                        seed=cfg.get("seed", 0) + 1)
+                val_bs = data_cfg.get("val_batch_size") or batch_size
+                val_bs -= val_bs % dp or 0
                 losses = []
                 for vb, vbatch in enumerate(
-                        val_ds.batches(batch_size, shuffle=False)):
+                        val_ds.batches(max(val_bs, dp), shuffle=False)):
                     if vb >= limit_val_batches:
                         break
                     vm = eval_fn(state, shard_batch(vbatch, mesh),

@@ -47,12 +47,17 @@ def _vec_norm(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pass1(states, voiced, merge_threshold):
+    """Greedy merge scan. The scan carries only the small running state
+    (mean, count, start) and emits per-frame *events*; segment/boundary
+    buffers are built afterwards with one vectorized scatter. Keeping the
+    (B, MAX_SEGS, 2) buffers out of the scan carry removes per-step
+    double-buffer traffic."""
     B, L, d = states.shape
     MS = L + 1
     bidx = jnp.arange(B)
 
     def step(carry, inp):
-        curr, cnt, start, segs, nseg, mids, nmid = carry
+        curr, cnt, start = carry
         x, v, i = inp
 
         sim = (curr * x).sum(-1) / _vec_norm(curr) / _vec_norm(x)
@@ -63,19 +68,6 @@ def _pass1(states, voiced, merge_threshold):
         close_sil = (~v) & is_open
         boundary = v & (~is_first) & (~merge)
         write_seg = close_sil | boundary
-
-        seg_val = jnp.stack([start, jnp.full_like(start, i)], -1)
-        old_seg = segs[bidx, nseg]
-        segs = segs.at[bidx, nseg].set(
-            jnp.where(write_seg[:, None], seg_val, old_seg)
-        )
-        mid_val = jnp.stack([jnp.full_like(start, i), nseg], -1)
-        old_mid = mids[bidx, nmid]
-        mids = mids.at[bidx, nmid].set(
-            jnp.where(boundary[:, None], mid_val, old_mid)
-        )
-        nmid = nmid + boundary.astype(jnp.int32)
-        nseg = nseg + write_seg.astype(jnp.int32)
 
         merged_mean = (curr * cnt[:, None] + x) / (cnt[:, None] + 1.0)
         new_curr = jnp.where(
@@ -89,25 +81,42 @@ def _pass1(states, voiced, merge_threshold):
             jnp.where(is_first | boundary, jnp.full_like(start, i), start),
             jnp.full_like(start, -1),
         )
-        return (new_curr, new_cnt, new_start, segs, nseg, mids, nmid), None
+        # events: a segment [start, i) closes here; is it a mid boundary?
+        return (new_curr, new_cnt, new_start), (write_seg, boundary, start)
 
     init = (
         jnp.zeros((B, d), jnp.float32),
         jnp.zeros((B,), jnp.float32),
         jnp.full((B,), -1, jnp.int32),
-        jnp.zeros((B, MS, 2), jnp.int32),
-        jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B, MS, 2), jnp.int32),
-        jnp.zeros((B,), jnp.int32),
     )
     xs = (
         jnp.swapaxes(states, 0, 1),                # (L, B, d)
         jnp.swapaxes(voiced, 0, 1),                # (L, B)
         jnp.arange(L, dtype=jnp.int32),
     )
-    (curr, cnt, start, segs, nseg, mids, nmid), _ = jax.lax.scan(
+    (curr, cnt, start), (close, boundary, seg_start) = jax.lax.scan(
         step, init, xs
     )
+    close = jnp.swapaxes(close, 0, 1)              # (B, L)
+    boundary = jnp.swapaxes(boundary, 0, 1)
+    seg_start = jnp.swapaxes(seg_start, 0, 1)
+
+    # scatter events into fixed-size buffers
+    t = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pos = jnp.cumsum(close, axis=1) - 1            # segment index per close
+    dest = jnp.where(close, pos, MS)               # out-of-bounds -> dropped
+    segs = jnp.zeros((B, MS, 2), jnp.int32)
+    seg_val = jnp.stack([seg_start, jnp.broadcast_to(t, (B, L))], -1)
+    segs = segs.at[bidx[:, None], dest].set(seg_val, mode="drop")
+    nseg = close.sum(axis=1).astype(jnp.int32)
+
+    mpos = jnp.cumsum(boundary, axis=1) - 1
+    mdest = jnp.where(boundary, mpos, MS)
+    mids = jnp.zeros((B, MS, 2), jnp.int32)
+    mid_val = jnp.stack([jnp.broadcast_to(t, (B, L)), pos], -1)
+    mids = mids.at[bidx[:, None], mdest].set(mid_val, mode="drop")
+    nmid = boundary.sum(axis=1).astype(jnp.int32)
+
     # close the trailing open segment as [start, L)
     trailing = start > -1
     seg_val = jnp.stack([start, jnp.full_like(start, L)], -1)

@@ -64,6 +64,7 @@ class DistillConfig:
     weight_decay: float = 0.1
     grad_clip: float = 0.5
     loss_scale: float = 1.0                    # loss_coefs.distillation_loss
+    accumulate_grad_batches: int = 1           # train.py:101 (optax.MultiSteps)
 
 
 class TrainState(NamedTuple):
@@ -78,11 +79,14 @@ def make_optimizer(cfg: DistillConfig) -> optax.GradientTransformation:
     schedule = cosine_warmup_schedule(
         cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.min_factor, cfg.hold_steps
     )
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(schedule, b1=0.9, b2=0.95, eps=1e-4,
                     weight_decay=cfg.weight_decay),
     )
+    if cfg.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+    return tx
 
 
 def init_train_state(

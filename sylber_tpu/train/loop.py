@@ -57,6 +57,7 @@ def distill_config_from_dict(model_cfg: Dict[str, Any]) -> DistillConfig:
         min_factor=m.get("min_factor", 1.0),
         hold_steps=m.get("hold_steps", 0),
         loss_scale=m.get("loss_coefs", {}).get("distillation_loss", 1.0),
+        accumulate_grad_batches=m.get("accumulate_grad_batches", 1),
     )
 
 

@@ -136,3 +136,19 @@ def test_sylber_facade():
     assert np.isfinite(float(out["distillation_loss"]))
     feats, segments, avg = model.segment(wav)
     assert feats.shape[0] == 2 and len(segments) == 2
+
+
+def test_grad_accumulation():
+    """optax.MultiSteps: params update only at accumulation boundaries."""
+    cfg = DistillConfig(model=TINY, lr=1e-3, warmup_steps=0,
+                        accumulate_grad_batches=2)
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    rng = np.random.RandomState(4)
+    batch = _batch(rng)
+    leaf = lambda s: np.asarray(s.params["layer_0"]["layer_norm"]["scale"])
+    p0 = leaf(state)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    assert np.array_equal(leaf(state), p0)      # mid-accumulation: no update
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert not np.array_equal(leaf(state), p0)  # boundary: applied

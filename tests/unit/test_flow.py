@@ -291,3 +291,18 @@ def test_ode_methods_agree_on_smooth_field():
             for m in ("euler", "midpoint", "rk4")}
     np.testing.assert_allclose(outs["midpoint"], outs["rk4"], atol=1e-3)
     np.testing.assert_allclose(outs["euler"], outs["rk4"], atol=2e-2)
+
+
+def test_kmeans_recovers_clusters():
+    from sylber_tpu.flow.kmeans import fit_kmeans
+
+    rng = np.random.RandomState(0)
+    true = rng.randn(8, 16).astype(np.float32) * 5
+    x = np.concatenate([true[i] + rng.randn(200, 16).astype(np.float32) * 0.1
+                        for i in range(8)])
+    centroids, inertia = fit_kmeans(x, 8, batch_size=256, n_epochs=8)
+    assert centroids.shape == (8, 16)
+    assert inertia < 0.5
+    # every true center has a close learned centroid
+    d = np.sqrt(((true[:, None] - centroids[None]) ** 2).sum(-1)).min(1)
+    assert (d < 0.5).all(), d

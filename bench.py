@@ -38,8 +38,12 @@ def main():
     precision = os.environ.get("SYLBER_BENCH_PRECISION", "default")
     dtype = jnp.dtype(os.environ.get("SYLBER_BENCH_DTYPE", "bfloat16"))
 
-    seg = Segmenter(model_ckpt=None, dtype=dtype, precision=precision,
-                    length_bucket_s=4.0)
+    from sylber_tpu.models.hubert import HubertConfig
+
+    fdt = jnp.dtype(os.environ.get("SYLBER_BENCH_FRONTEND_DTYPE", "bfloat16"))
+    seg = Segmenter(hubert_config=HubertConfig(
+        dtype=dtype, precision=precision, frontend_dtype=fdt),
+        length_bucket_s=4.0)
 
     rng = np.random.RandomState(0)
     # sort lengths within the run to bucket efficiently (production serving

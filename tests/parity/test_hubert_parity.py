@@ -96,3 +96,23 @@ def test_mask_time_indices_parity(models):
         )
     )
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_bf16_frontend_close_to_f32(models):
+    """Fast-mode frontend (convs 1-6 in bf16) must track the fp32 path
+    closely enough that norm-gate decisions are stable (rel err ~1e-2)."""
+    import jax.numpy as jnp_
+
+    hf, _, params = models
+    fast = HubertModel(HubertConfig(num_hidden_layers=N_LAYERS,
+                                    precision="default",
+                                    frontend_dtype=jnp_.bfloat16))
+    exact = HubertModel(HubertConfig(num_hidden_layers=N_LAYERS))
+    rng = np.random.RandomState(9)
+    wav = rng.randn(1, 16000).astype(np.float32)
+    a = np.asarray(exact.apply({"params": params}, jnp.asarray(wav)))
+    b = np.asarray(fast.apply({"params": params}, jnp.asarray(wav)))
+    na = np.sqrt((a ** 2).sum(-1))
+    nb = np.sqrt((b ** 2).sum(-1))
+    rel = np.abs(na - nb) / np.maximum(na, 1e-6)
+    assert rel.max() < 0.05, rel.max()

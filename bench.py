@@ -47,18 +47,19 @@ def main():
 
     rng = np.random.RandomState(0)
     # sort lengths within the run to bucket efficiently (production serving
-    # would do the same); seconds counted from true lengths
+    # would do the same); seconds counted from true lengths. Audio ships as
+    # int16 PCM and is normalized on device (halves host->device bytes).
     all_lens = np.sort(_lengths(rng, n_batches * bs))[::-1]
     batches = []
     for i in range(n_batches):
         lens = all_lens[i * bs: (i + 1) * bs]
         max_len = int(np.ceil(lens.max() * 16000 / seg.length_bucket)
                       ) * seg.length_bucket
-        wav = rng.randn(bs, max_len).astype(np.float32) * 0.1
+        wav = (rng.randn(bs, max_len) * 2000).astype(np.int16)
         mask = np.zeros((bs, max_len), np.int32)
         for j, l in enumerate(lens):
             mask[j, : int(l * 16000)] = 1
-            wav[j, int(l * 16000):] = 0.0
+            wav[j, int(l * 16000):] = 0
         batches.append((jnp.asarray(wav), jnp.asarray(mask), lens.sum()))
 
     def run(wav, mask):

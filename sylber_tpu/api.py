@@ -81,7 +81,20 @@ class Segmenter:
         model, config = self.model, self.config
 
         def _fwd(params, wavs, attention_mask, norm_threshold, merge_threshold):
-            """One fused program: encoder forward + segmentation + pooling."""
+            """One fused program: encoder forward + segmentation + pooling.
+
+            ``wavs`` may be int16 PCM: it is then normalized on device to
+            zero-mean/unit-var over the attended samples (the reference's
+            Wav2Vec2Processor collate semantics,
+            `collective_audio_segment.py:125-127`) — halving host->device
+            transfer for production serving."""
+            if wavs.dtype == jnp.int16:
+                x = wavs.astype(jnp.float32)
+                m = attention_mask.astype(jnp.float32)
+                n = jnp.maximum(m.sum(-1, keepdims=True), 1.0)
+                mean = (x * m).sum(-1, keepdims=True) / n
+                var = (((x - mean) * m) ** 2).sum(-1, keepdims=True) / n
+                wavs = (x - mean) / jnp.sqrt(var + 1e-7) * m
             hidden = model.apply(
                 {"params": params}, wavs, attention_mask
             ).astype(jnp.float32)

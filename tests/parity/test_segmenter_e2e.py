@@ -116,3 +116,22 @@ def test_wav_file_roundtrip(tmp_path, setup):
     out = seg(wav_file=str(path), in_second=True, norm_threshold=1.0,
               merge_threshold=0.9)
     assert "segments" in out and out["hidden_states"].shape[-1] == 768
+
+
+def test_pcm16_on_device_normalization(setup):
+    """int16 input -> on-device zero-mean/unit-var == host-normalized f32."""
+    import jax.numpy as jnp
+
+    _, seg = setup
+    rng = np.random.RandomState(11)
+    pcm = (synth_speech(rng, 12000) * 3000).astype(np.int16)
+    f32 = pcm.astype(np.float32)
+    f32 = (f32 - f32.mean()) / np.sqrt(f32.var() + 1e-7)
+
+    mask = jnp.ones((1, len(pcm)), jnp.int32)
+    h_pcm, _ = seg._forward_segment(seg.params, jnp.asarray(pcm[None]),
+                                    mask, jnp.float32(1.0), jnp.float32(0.9))
+    h_f32, _ = seg._forward_segment(seg.params, jnp.asarray(f32[None]),
+                                    mask, jnp.float32(1.0), jnp.float32(0.9))
+    np.testing.assert_allclose(np.asarray(h_pcm), np.asarray(h_f32),
+                               atol=2e-4, rtol=1e-3)

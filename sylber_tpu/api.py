@@ -57,6 +57,7 @@ class Segmenter:
         batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
         params: Optional[Dict[str, Any]] = None,
         hubert_config: Optional[HubertConfig] = None,
+        mesh: Optional[Any] = None,
         **kwargs: Any,
     ) -> None:
         self.config = hubert_config or HubertConfig(
@@ -74,9 +75,25 @@ class Segmenter:
             self.params = self._load_params(model_ckpt, encoding_layer)
         else:
             self.params = self.model.init_params(jax.random.PRNGKey(0))
-        self.params = jax.device_put(
-            jax.tree.map(jnp.asarray, self.params)
-        )
+        # optional multi-chip data parallelism: params replicated, batches
+        # sharded over the mesh's dp axis (XLA handles the rest under jit)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._rep = NamedSharding(mesh, P())
+            self._dp = lambda nd: NamedSharding(
+                mesh, P("dp", *([None] * (nd - 1))))
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), self._rep),
+                self.params)
+            self.batch_buckets = tuple(
+                b for b in self.batch_buckets if b % mesh.shape["dp"] == 0
+            ) or (mesh.shape["dp"],)
+        else:
+            self.params = jax.device_put(
+                jax.tree.map(jnp.asarray, self.params)
+            )
 
         model, config = self.model, self.config
 
@@ -177,8 +194,12 @@ class Segmenter:
             batch[i, : len(w)] = w
             mask[i, : len(w)] = 1
 
+        batch_dev, mask_dev = jnp.asarray(batch), jnp.asarray(mask)
+        if self.mesh is not None:
+            batch_dev = jax.device_put(batch_dev, self._dp(2))
+            mask_dev = jax.device_put(mask_dev, self._dp(2))
         hidden, res = self._forward_segment(
-            self.params, jnp.asarray(batch), jnp.asarray(mask),
+            self.params, batch_dev, mask_dev,
             jnp.float32(nt), jnp.float32(mt),
         )
         hidden = np.asarray(hidden)

@@ -91,3 +91,22 @@ def test_dp_tp_train_step_runs_and_matches():
     assert not k.sharding.is_fully_replicated
     # loss gradient actually applied
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_segmenter_dp_inference_matches_single():
+    from sylber_tpu.api import Segmenter
+
+    mesh = make_mesh(dp=4, mp=1)
+    rng = np.random.RandomState(5)
+    wavs = [rng.randn(n).astype(np.float32) for n in (9000, 12000, 8000)]
+    single = Segmenter(hubert_config=TINY)
+    outs_1 = single(wav=wavs, in_second=False, norm_threshold=1.0,
+                    merge_threshold=0.9)
+    dp_seg = Segmenter(hubert_config=TINY, params=single.params, mesh=mesh)
+    with jax.set_mesh(mesh):
+        outs_dp = dp_seg(wav=wavs, in_second=False, norm_threshold=1.0,
+                         merge_threshold=0.9)
+    for a, b in zip(outs_1, outs_dp):
+        assert a["segments"].tolist() == b["segments"].tolist()
+        np.testing.assert_allclose(a["hidden_states"], b["hidden_states"],
+                                   atol=2e-4, rtol=1e-3)

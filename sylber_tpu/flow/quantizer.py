@@ -209,8 +209,9 @@ def vq_ema_update(state: VQState, cfg: GroupedResidualVQConfig,
 # ---------------- trainable encoder + art/pitch quantizer ----------------
 
 class FFEncoder(object):
-    """Flax-free MLP encoder matching `quantizer.py:15-31` (Linear -> [Linear
-    -> ReLU -> Linear residual-free FF] per hidden dim -> Linear)."""
+    """Flax-free MLP encoder matching `quantizer.py:15-31`: per hidden dim a
+    Linear followed by a (non-residual) FeedForward = Linear -> ReLU ->
+    Linear, then a final Linear."""
 
     @staticmethod
     def init(rng, input_dim, output_dim, hidden_dims):
@@ -239,7 +240,7 @@ class FFEncoder(object):
         for _ in range(n_hidden):
             x = x @ params[i]["kernel"] + params[i]["bias"]; i += 1
             h = jax.nn.relu(x @ params[i]["kernel"] + params[i]["bias"]); i += 1
-            x = x + (h @ params[i]["kernel"] + params[i]["bias"]); i += 1
+            x = h @ params[i]["kernel"] + params[i]["bias"]; i += 1
         return x @ params[i]["kernel"] + params[i]["bias"]
 
 

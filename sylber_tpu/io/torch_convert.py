@@ -260,3 +260,48 @@ def load_synthesis_checkpoint(path: str, config) -> Any:
         regressor=regressor_params_from_torch(
             obj, depth=config.regressor.depth),
     )
+
+
+def quantizer_state_from_torch(sd: Mapping[str, Any], cfg) -> Any:
+    """Convert a reference trainable-Quantizer checkpoint
+    (`/root/reference/sylber/model/quantizer.py:182-257`, built on
+    vector-quantize-pytorch GroupedResidualVQ) into a
+    `sylber_tpu.flow.quantizer.QuantizerState`.
+
+    vector-quantize-pytorch layout: codebooks live at
+    ``{art,pitch}_vq.rvqs.{group}.layers.{quantizer}._codebook.embed`` with a
+    leading num_codebooks dim of 1; the FF encoder is
+    ``encoder.mlp.{2i}`` Linears interleaved with FeedForward Sequentials
+    (Linear at .0, Linear at .3)."""
+    from ..flow.quantizer import QuantizerState, VQState
+
+    def encoder_params():
+        params = []
+        n_hidden = len(cfg.hidden_dims)
+        for i in range(n_hidden):
+            params.append(_dense(sd, f"encoder.mlp.{2 * i}"))
+            params.append(_dense(sd, f"encoder.mlp.{2 * i + 1}.0"))
+            params.append(_dense(sd, f"encoder.mlp.{2 * i + 1}.3"))
+        params.append(_dense(sd, f"encoder.mlp.{2 * n_hidden}"))
+        return params
+
+    def vq_state(prefix, vq_cfg):
+        import numpy as _numpy
+
+        cbs = _numpy.zeros((vq_cfg.groups, vq_cfg.num_quantizers,
+                            vq_cfg.codebook_size, vq_cfg.dim_group),
+                           _numpy.float32)
+        for g in range(vq_cfg.groups):
+            for q in range(vq_cfg.num_quantizers):
+                e = _np(sd[f"{prefix}.rvqs.{g}.layers.{q}._codebook.embed"])
+                cbs[g, q] = e[0] if e.ndim == 3 else e
+        import jax.numpy as _jnp
+
+        cbs = _jnp.asarray(cbs)
+        return VQState(cbs, _jnp.ones(cbs.shape[:-1]), cbs * 1.0)
+
+    return QuantizerState(
+        encoder=encoder_params(),
+        art_vq=vq_state("art_vq", cfg.art_vq),
+        pitch_vq=vq_state("pitch_vq", cfg.pitch_vq),
+    )

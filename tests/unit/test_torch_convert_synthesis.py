@@ -151,3 +151,41 @@ def test_rff_matches_torch_block():
         want = tm(torch.from_numpy(x)).numpy()
     got = np.asarray(RFF(16).apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_quantizer_state_conversion():
+    """Structural: trainable-Quantizer ckpt names -> QuantizerState."""
+    from sylber_tpu.flow.quantizer import (
+        GroupedResidualVQConfig, QuantizerConfig, quantizer_forward)
+    from sylber_tpu.io.torch_convert import quantizer_state_from_torch
+
+    cfg = QuantizerConfig(
+        input_dim=24, output_dim=16, hidden_dims=(20,), pitch_emb_dim=4,
+        art_vq=GroupedResidualVQConfig(dim=12, groups=2, num_quantizers=2,
+                                       codebook_size=32),
+        pitch_vq=GroupedResidualVQConfig(dim=4, codebook_size=16))
+    rng = np.random.RandomState(0)
+    sd = {
+        "encoder.mlp.0.weight": rng.randn(20, 24),
+        "encoder.mlp.0.bias": rng.randn(20),
+        "encoder.mlp.1.0.weight": rng.randn(20, 20),
+        "encoder.mlp.1.0.bias": rng.randn(20),
+        "encoder.mlp.1.3.weight": rng.randn(20, 20),
+        "encoder.mlp.1.3.bias": rng.randn(20),
+        "encoder.mlp.2.weight": rng.randn(16, 20),
+        "encoder.mlp.2.bias": rng.randn(16),
+    }
+    for g in range(2):
+        for q in range(2):
+            sd[f"art_vq.rvqs.{g}.layers.{q}._codebook.embed"] = \
+                rng.randn(1, 32, 6)
+    sd["pitch_vq.rvqs.0.layers.0._codebook.embed"] = rng.randn(1, 16, 4)
+    sd = {k: v.astype(np.float32) for k, v in sd.items()}
+
+    state = quantizer_state_from_torch(sd, cfg)
+    assert state.art_vq.codebooks.shape == (2, 2, 32, 6)
+    assert state.pitch_vq.codebooks.shape == (1, 1, 16, 4)
+    out = quantizer_forward(state, cfg,
+                            jnp.asarray(rng.randn(2, 5, 24), jnp.float32))
+    assert out["quantize"].shape == (2, 5, 16)
+    assert np.isfinite(np.asarray(out["quantize"])).all()

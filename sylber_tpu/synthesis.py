@@ -171,11 +171,14 @@ class SegmentSynthesis:
 
     # ------------------------------------------------------------------
 
-    def _cond_from_features(self, features: jnp.ndarray):
+    def _cond_from_features(self, features: jnp.ndarray,
+                            quantize: bool = True):
         """Feature path: norms (no eps! `segment_synthesis.py:138`),
-        blank threshold 1e-4, optional quantization, MLP, blank zeroing."""
+        blank threshold 1e-4, optional quantization, MLP, blank zeroing.
+        ``quantize=False`` for callers that already quantized per-segment
+        (the wav path, `segment_synthesis.py:126-131`)."""
         norms = jnp.sqrt((features ** 2).sum(-1))
-        if self.quantizer is not None:
+        if quantize and self.quantizer is not None:
             idx = self.quantizer.get_indices(features)
             features = self.quantizer.decode(idx)
             features = jnp.where((norms < 1e-4)[..., None], 0.0, features)
@@ -221,7 +224,7 @@ class SegmentSynthesis:
             else:
                 filled = averaged_target_fill(hidden, res.segments,
                                               res.num_segments)
-            cond = self._cond_from_features(filled)
+            cond = self._cond_from_features(filled, quantize=False)
             segments_out = [
                 np.asarray(res.segments[b][: int(res.num_segments[b])])
                 for b in range(len(wav))]

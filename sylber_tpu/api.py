@@ -172,7 +172,11 @@ class Segmenter:
         in_second: bool = True,
         norm_threshold: Optional[float] = None,
         merge_threshold: Optional[float] = None,
+        return_hidden: bool = True,
     ) -> List[Dict[str, np.ndarray]]:
+        """``return_hidden=False`` skips the device->host copy of the frame
+        features (~39 MB per 32x8s batch) for serving paths that only need
+        segments + pooled features."""
         nt = self.norm_threshold if norm_threshold is None else float(norm_threshold)
         mt = self.merge_threshold if merge_threshold is None else float(merge_threshold)
 
@@ -185,7 +189,8 @@ class Segmenter:
             big = self.batch_buckets[-1]
             out: List[Dict[str, np.ndarray]] = []
             for i in range(0, n, big):
-                out.extend(self.process(wavs[i:i + big], in_second, nt, mt))
+                out.extend(self.process(wavs[i:i + big], in_second, nt, mt,
+                                        return_hidden))
             return out
 
         batch = np.zeros((bsz, max_len), np.float32)
@@ -202,19 +207,21 @@ class Segmenter:
             self.params, batch_dev, mask_dev,
             jnp.float32(nt), jnp.float32(mt),
         )
-        hidden = np.asarray(hidden)
         segs = np.asarray(res.segments)
         nseg = np.asarray(res.num_segments)
         feats = np.asarray(res.features)
+        hidden = np.asarray(hidden) if return_hidden else None
 
         outputs = []
         for i in range(n):
             k = int(nseg[i])
             seg_i = segs[i, :k].astype(np.int64)
             t_valid = self.config.feat_extract_output_length(lengths[i])
-            outputs.append({
+            out = {
                 "segments": seg_i / FRAME_RATE if in_second else seg_i,
                 "segment_features": feats[i, :k].copy() if k else np.array([]),
-                "hidden_states": hidden[i, :t_valid],
-            })
+            }
+            if return_hidden:
+                out["hidden_states"] = hidden[i, :t_valid]
+            outputs.append(out)
         return outputs

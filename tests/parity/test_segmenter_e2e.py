@@ -135,3 +135,19 @@ def test_pcm16_on_device_normalization(setup):
                                     mask, jnp.float32(1.0), jnp.float32(0.9))
     np.testing.assert_allclose(np.asarray(h_pcm), np.asarray(h_f32),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_bucketing_bounds_recompiles(setup):
+    """Many different lengths within the same bucket reuse one compiled
+    program (production serving must not recompile per length)."""
+    _, seg = setup
+    rng = np.random.RandomState(13)
+    seg._forward_segment.clear_cache()
+    for n in (14100, 14500, 15000, 15999, 14011):
+        seg(wav=synth_speech(rng, n), in_second=False,
+            norm_threshold=1.0, merge_threshold=0.9)
+    assert seg._forward_segment._cache_size() == 1
+    # a second bucket appears for a longer input
+    seg(wav=synth_speech(rng, 17000), in_second=False,
+        norm_threshold=1.0, merge_threshold=0.9)
+    assert seg._forward_segment._cache_size() == 2

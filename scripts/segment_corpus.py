@@ -1,0 +1,112 @@
+"""Batch-segment a corpus: the LibriSpeech-style throughput/eval runner.
+
+Walks a directory (or manifest) of audio files, runs bucketed batched
+inference, and writes per-utterance results (segments in seconds + token
+counts) plus corpus-level stats: RTFx, token rate (reference headline:
+4.27 tok/s, `/root/reference/README.md:5`), and — when a second results file
+is given — boundary F1 against it (BASELINE: within 0.5% of the reference).
+
+Usage:
+  python scripts/segment_corpus.py --audio-dir test-clean/ --out results.npz \
+      [--ckpt sylber.ckpt] [--batch-size 32] [--compare other_results.npz]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--audio-dir", default=None)
+    ap.add_argument("--manifest", default=None)
+    ap.add_argument("--wav-dir", default=None)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--norm-threshold", type=float, default=2.6)
+    ap.add_argument("--merge-threshold", type=float, default=0.8)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--compare", default=None,
+                    help="npz of another run; reports boundary F1 vs it")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from sylber_tpu.api import Segmenter
+    from sylber_tpu.models.hubert import HubertConfig
+    from sylber_tpu.utils.audio import load_for_inference
+    from sylber_tpu.utils.metrics import boundary_f1, token_rate
+
+    if args.audio_dir:
+        files = sorted(Path(args.audio_dir).rglob("*.wav")) \
+            + sorted(Path(args.audio_dir).rglob("*.flac"))
+        names = [str(f.relative_to(args.audio_dir)) for f in files]
+    else:
+        assert args.manifest and args.wav_dir
+        names = [t.strip() for t in open(args.manifest) if t.strip()]
+        files = []
+        for t in names:
+            for ext in (".wav", ".flac"):
+                p = Path(args.wav_dir) / f"{t}{ext}"
+                if p.exists():
+                    files.append(p)
+                    break
+    assert files, "no audio found"
+
+    seg = Segmenter(
+        model_ckpt=args.ckpt,
+        hubert_config=HubertConfig(dtype=jnp.dtype(args.dtype),
+                                   precision="default",
+                                   frontend_dtype=jnp.dtype(args.dtype)),
+        norm_threshold=args.norm_threshold,
+        merge_threshold=args.merge_threshold,
+        length_bucket_s=4.0,
+    )
+
+    # load + sort by length for bucket efficiency
+    wavs = [load_for_inference(f) for f in files]
+    order = np.argsort([-len(w) for w in wavs])
+    total_seconds = sum(len(w) for w in wavs) / 16000.0
+
+    results = {}
+    t0 = time.perf_counter()
+    for i in range(0, len(order), args.batch_size):
+        idx = order[i: i + args.batch_size]
+        outs = seg.process([wavs[j] for j in idx], in_second=True,
+                           return_hidden=False)
+        for j, o in zip(idx, outs):
+            results[names[j]] = o["segments"]
+    wall = time.perf_counter() - t0
+
+    segs_list = list(results.values())
+    stats = {
+        "utts": len(files),
+        "audio_seconds": total_seconds,
+        "wall_seconds": wall,
+        "rtfx": total_seconds / wall,
+        "token_rate": token_rate(segs_list,
+                                 [len(w) / 16000.0 for w in wavs]),
+    }
+    np.savez(args.out, stats=json.dumps(stats),
+             **{k: v for k, v in results.items()})
+    print(json.dumps(stats))
+
+    if args.compare:
+        other = np.load(args.compare, allow_pickle=True)
+        f1s = [boundary_f1((results[k] * 50).astype(int),
+                           (other[k] * 50).astype(int), tol_frames=0)
+               for k in results if k in other]
+        print(json.dumps({"boundary_f1_vs_compare": float(np.mean(f1s)),
+                          "n_compared": len(f1s)}))
+
+
+if __name__ == "__main__":
+    main()

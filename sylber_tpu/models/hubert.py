@@ -75,6 +75,10 @@ class HubertConfig:
     # on the MXU (f32 passes are 8x bf16), so bfloat16 here roughly doubles
     # throughput; fp32 default preserves checkpoint parity.
     frontend_dtype: jnp.dtype = jnp.float32
+    # rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # trades ~33% more FLOPs for O(depth) less activation memory — needed
+    # for the reference's batch-100 training recipe on a single chip.
+    remat: bool = False
 
     @property
     def total_stride(self) -> int:
@@ -280,9 +284,12 @@ class HubertModel(nn.Module):
                          name="encoder_layer_norm")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
+        layer_cls = EncoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         for i in range(cfg.num_hidden_layers):
-            x = EncoderLayer(cfg, name=f"layer_{i}")(
-                x, attn_bias, deterministic=deterministic
+            x = layer_cls(cfg, name=f"layer_{i}")(
+                x, attn_bias, deterministic
             )
         return x
 

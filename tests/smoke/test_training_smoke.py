@@ -152,3 +152,21 @@ def test_grad_accumulation():
     assert np.array_equal(leaf(state), p0)      # mid-accumulation: no update
     state, _ = step(state, batch, jax.random.PRNGKey(1))
     assert not np.array_equal(leaf(state), p0)  # boundary: applied
+
+
+def test_remat_training_matches_loss():
+    """jax.checkpoint on encoder layers: same loss, less memory."""
+    import dataclasses
+
+    base = DistillConfig(model=TINY, lr=1e-3, warmup_steps=0)
+    remat = DistillConfig(model=dataclasses.replace(TINY, remat=True),
+                          lr=1e-3, warmup_steps=0)
+    rng = np.random.RandomState(6)
+    batch = _batch(rng)
+    s1 = init_train_state(base, jax.random.PRNGKey(0))
+    s2 = init_train_state(remat, jax.random.PRNGKey(0))
+    _, m1 = jax.jit(make_train_step(base))(s1, batch, jax.random.PRNGKey(1))
+    _, m2 = jax.jit(make_train_step(remat))(s2, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)

@@ -133,10 +133,20 @@ class Segmenter:
 
             return load_params(str(path))
         if not path.exists():
-            raise FileNotFoundError(
-                f"checkpoint {model_ckpt!r} not found; pass a local torch "
-                "state_dict file or an Orbax checkpoint directory"
-            )
+            # reference behavior: fetch named checkpoints from the HF hub
+            # (`sylber.py:47-52`); requires network access.
+            name = "sylber.ckpt" if model_ckpt == "sylber" else model_ckpt
+            try:
+                from huggingface_hub import hf_hub_download
+
+                path = Path(hf_hub_download(repo_id="cheoljun95/sylber",
+                                            filename=name))
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"checkpoint {model_ckpt!r} not found locally and HF hub "
+                    f"download failed ({e}); pass a local torch state_dict "
+                    "file or an Orbax checkpoint directory"
+                ) from e
         from .io.torch_convert import load_torch_checkpoint
 
         return load_torch_checkpoint(str(path), num_hidden_layers=encoding_layer)

@@ -165,6 +165,17 @@ class SegmentSynthesis:
 
             tree = load_params(str(p))
             return SynthesisParams(**tree) if isinstance(tree, dict) else tree
+        if not p.exists():
+            # reference: hub-hosted synthesis checkpoint (demo.ipynb cell 8)
+            try:
+                from huggingface_hub import hf_hub_download
+
+                p = Path(hf_hub_download(repo_id="cheoljun95/sylber",
+                                         filename=str(path)))
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"checkpoint {path!r} not found locally and HF hub "
+                    f"download failed ({e})") from e
         from .io.torch_convert import load_synthesis_checkpoint
 
         return load_synthesis_checkpoint(str(p), self.config)

@@ -106,6 +106,57 @@ def load_km_quantizer(centroids, residual_centroids=None, normalize=False):
     return KMQuantizer(centroids, normalize=normalize)
 
 
+def load_quantizer(config=None, ckpt=None):
+    """Load a trainable Quantizer from a yaml/dict config and/or a torch
+    checkpoint (reference surface `quantizer.py:47-77`). Returns
+    (QuantizerState, QuantizerConfig)."""
+    import jax
+
+    state_dict = None
+    if config is not None and not isinstance(config, dict):
+        if str(config).endswith(".ckpt"):
+            return load_quantizer(config=None, ckpt=config)
+        import yaml
+
+        with open(config) as f:
+            config = yaml.safe_load(f)
+    if config is None:
+        assert ckpt is not None
+        import torch
+
+        obj = torch.load(ckpt, map_location="cpu", weights_only=False)
+        config = obj["config"]
+        state_dict = obj.get("state_dict")
+    if "model" in config:
+        config = config["model"]
+
+    enc = config["encoder_configs"]
+    qcfg = QuantizerConfig(
+        input_dim=enc["input_dim"],
+        output_dim=enc["output_dim"],
+        hidden_dims=tuple(enc["hidden_dims"]),
+        pitch_emb_dim=config.get("pitch_emb_dim", 8),
+        art_vq=GroupedResidualVQConfig(**config["art_vq_configs"]),
+        pitch_vq=GroupedResidualVQConfig(**config["pitch_vq_configs"]),
+        unit_norm_encoder_input=config.get("unit_norm_encoder_input", True),
+        unit_norm_encoder_output=config.get("unit_norm_encoder_output", True),
+        keep_blank_zero=config.get("keep_blank_zero", True),
+        separate_norm=config.get("separate_norm", True),
+    )
+    if state_dict is None and ckpt is not None:
+        import torch
+
+        obj = torch.load(ckpt, map_location="cpu", weights_only=False)
+        state_dict = obj.get("state_dict", obj)
+    if state_dict is not None:
+        from ..io.torch_convert import quantizer_state_from_torch
+
+        state = quantizer_state_from_torch(state_dict, qcfg)
+    else:
+        state = quantizer_init(jax.random.PRNGKey(0), qcfg)
+    return state, qcfg
+
+
 # ---------------- trainable grouped residual VQ ----------------
 
 class VQState(NamedTuple):

@@ -146,8 +146,10 @@ def train(
 
     # buffer donation halves train-state memory on TPU; the XLA CPU runtime
     # deadlocks in collective thunks when arguments are donated (observed on
-    # the simulated multi-device CPU mesh), so donate only off-CPU.
-    donate = (0,) if jax.default_backend() != "cpu" else ()
+    # the simulated multi-device CPU mesh) and the axon-tunneled TPU backend
+    # rejects donated executions (InvalidArgument), so it is opt-out.
+    donate = (0,) if (jax.default_backend() != "cpu"
+                      and os.environ.get("SYLBER_TPU_DONATE", "1") != "0") else ()
     step_fn = jax.jit(make_train_step(dcfg), donate_argnums=donate)
     eval_fn = jax.jit(make_eval_step(dcfg))
 

@@ -159,3 +159,48 @@ def test_averaged_target_fill():
     for s, e in segs:
         want[s:e] = st[s:e].mean(0)
     np.testing.assert_allclose(filled, want, atol=2e-4, rtol=1e-4)
+
+
+def test_scan_matches_oracle_adversarial():
+    """Fuzz with adversarial structure: exact-threshold norms, repeated
+    identical frames (cos == 1 ties), zero frames, alternating silence."""
+    rng = np.random.RandomState(42)
+    d = 24
+    for trial in range(20):
+        L = int(rng.randint(8, 120))
+        kind = trial % 5
+        if kind == 0:
+            # norms very close to the threshold (1e-4 margin: exact-ulp ties
+            # are out of contract — numpy's pairwise summation and XLA's
+            # reduction order legitimately differ in the last ulp)
+            proto = rng.randn(d).astype(np.float32)
+            proto = proto / np.sqrt((proto ** 2).sum() + 1e-8) * 2.0
+            states = np.tile(proto, (L, 1))
+            states[rng.rand(L) < 0.3] *= 0.01
+            nt = float(np.sqrt((proto ** 2).sum() + 1e-8)) - 1e-4
+        elif kind == 1:
+            # identical repeated frames: running-mean sim exactly 1.0
+            proto = rng.randn(d).astype(np.float32) * 3
+            states = np.tile(proto, (L, 1))
+            nt = 1.0
+        elif kind == 2:
+            # hard alternation every frame
+            a, b = rng.randn(2, d).astype(np.float32) * 5
+            states = np.stack([a if i % 2 == 0 else b for i in range(L)])
+            nt = 1.0
+        elif kind == 3:
+            # zeros interleaved with strong frames
+            states = rng.randn(L, d).astype(np.float32) * 4
+            states[::3] = 0.0
+            nt = 1.0
+        else:
+            # tiny everything (all below threshold)
+            states = rng.randn(L, d).astype(np.float32) * 1e-3
+            nt = 1.0
+        # mt=1.0 on identical frames is a pure last-ulp tie (cos == 1.0
+        # exactly in math); practical thresholds are <= 0.99
+        for mt in (0.5, 0.8, 0.99):
+            want = segment_oracle(states, nt, mt)
+            res = segment_batch(jnp.asarray(states)[None], nt, mt)
+            got = np.asarray(res.segments[0][: int(res.num_segments[0])])
+            assert got.tolist() == want.tolist(), (trial, kind, mt)

@@ -1,0 +1,67 @@
+"""CLI entry point + driver-contract smoke tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import yaml
+
+
+def test_train_cli(tmp_path):
+    cfg = {
+        "name": "cli_smoke",
+        "seed": 0,
+        "model": {
+            "encoding_layer": 1,
+            "hubert": {"hidden_size": 32, "num_attention_heads": 4,
+                       "intermediate_size": 64, "conv_dim": [16] * 7,
+                       "num_conv_pos_embeddings": 16,
+                       "num_conv_pos_embedding_groups": 4},
+            "precision": "default",
+            "lr": 1e-3,
+            "warmup_steps": 1,
+        },
+        "data": {"synthetic": True, "n_utts": 8, "max_len": 16000,
+                 "batch_size": 8},
+        "max_steps": 2,
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_dir = tmp_path / "run"
+    import os
+
+    res = subprocess.run(
+        [sys.executable, "train.py", "--config", str(cfg_path),
+         "--out-dir", str(out_dir), "--log-every", "1", "--ckpt-every", "1"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rows = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
+    assert any(np.isfinite(r.get("loss", np.nan)) for r in rows)
+    assert (out_dir / "ckpts").exists()
+
+
+def test_graft_entry_contract():
+    """entry() returns (jittable fn, example args) that run on CPU."""
+    import os
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    _sys.path.insert(0, root)
+    import importlib
+
+    ge = importlib.import_module("__graft_entry__")
+    import jax
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    segs, nseg, feats = out
+    assert segs.shape[0] == 2 and segs.shape[-1] == 2
+    assert np.isfinite(np.asarray(feats)).all()

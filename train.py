@@ -10,10 +10,21 @@ part of the TPU image). Supports stage hand-off checkpoints:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 import yaml
+
+# Some TPU plugins (axon) ignore the JAX_PLATFORMS env var; enforce it via
+# jax.config before any backend initialization.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
 
 
 def load_init_params(cfg):

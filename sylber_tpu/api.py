@@ -182,11 +182,16 @@ class Segmenter:
         in_second: bool = True,
         norm_threshold: Optional[float] = None,
         merge_threshold: Optional[float] = None,
-        return_hidden: bool = True,
+        return_hidden=True,
     ) -> List[Dict[str, np.ndarray]]:
-        """``return_hidden=False`` skips the device->host copy of the frame
-        features (~39 MB per 32x8s batch) for serving paths that only need
-        segments + pooled features."""
+        """``return_hidden``: True fetches frame features to host (~39 MB per
+        32x8s batch); False skips them; "device" leaves them on device as
+        ``hidden_states_device`` (callers fetch slices lazily — used by the
+        long-form path, where pulling full hidden tracks dominated runtime).
+        Segment/feature buffers are fetched as a sliced prefix
+        ``[:, :max(num_segments)]`` — for long windows this is ~10x fewer
+        bytes than the full (B, MAX_SEGS, d) buffer. Outputs always include
+        ``frame_norms`` (cheap, (T,) per item)."""
         nt = self.norm_threshold if norm_threshold is None else float(norm_threshold)
         mt = self.merge_threshold if merge_threshold is None else float(merge_threshold)
 
@@ -217,10 +222,12 @@ class Segmenter:
             self.params, batch_dev, mask_dev,
             jnp.float32(nt), jnp.float32(mt),
         )
-        segs = np.asarray(res.segments)
         nseg = np.asarray(res.num_segments)
-        feats = np.asarray(res.features)
-        hidden = np.asarray(hidden) if return_hidden else None
+        max_k = max(int(nseg.max()), 1)
+        segs = np.asarray(res.segments[:, :max_k])
+        feats = np.asarray(res.features[:, :max_k])
+        norms = np.asarray(res.norms)
+        hidden_host = np.asarray(hidden) if return_hidden is True else None
 
         outputs = []
         for i in range(n):
@@ -230,8 +237,12 @@ class Segmenter:
             out = {
                 "segments": seg_i / FRAME_RATE if in_second else seg_i,
                 "segment_features": feats[i, :k].copy() if k else np.array([]),
+                "frame_norms": norms[i, :t_valid],
             }
-            if return_hidden:
-                out["hidden_states"] = hidden[i, :t_valid]
+            if return_hidden is True:
+                out["hidden_states"] = hidden_host[i, :t_valid]
+            elif return_hidden == "device":
+                out["hidden_states_device"] = hidden[i]
+                out["num_frames"] = t_valid
             outputs.append(out)
         return outputs

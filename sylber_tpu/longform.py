@@ -12,22 +12,25 @@ impractical for 10-minute recordings. Here:
    of one recording fill a batch — data-parallel across chips when a mesh is
    used);
 3. adjacent windows are stitched at the lowest-energy frame inside the
-   overlap (frame norms are already computed on device): each consecutive
-   pair picks a cut frame c = argmin over the shared overlap of the mean
-   frame norm, segments from the left window are kept/truncated at c, from
-   the right window kept/truncated after c, and identical boundaries merge.
-4. segment features are re-pooled from the stitched hidden-state track, so
-   pooled features are identical to what a single full pass would produce
-   for all segments away from cut points.
+   overlap (frame norms come back from the device at (T,) per window): each
+   consecutive pair picks a cut frame, segments from the left window are
+   kept/truncated at it, from the right window kept/truncated after it;
+4. segment features: interior (untruncated) segments reuse the on-device
+   pooled features of their window; only segments truncated at a cut are
+   re-pooled — in the default fast path from lazily-fetched device slices
+   of the window's hidden states, so a 10-minute recording moves kilobytes,
+   not the ~90 MB hidden track, over the host link.
+
+``return_hidden=True`` additionally assembles the stitched full hidden-state
+track (reference output contract); ``False`` is the fast serving path.
 
 The per-window frontend overlap also neutralizes conv edge effects: windows
-carry 25 ms receptive-field context on both sides and only the interior
-frames participate in stitching.
+carry receptive-field context on both sides.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -58,91 +61,128 @@ class LongFormSegmenter:
 
     def __call__(self, wav=None, wav_file=None, in_second: bool = True,
                  norm_threshold: Optional[float] = None,
-                 merge_threshold: Optional[float] = None) -> Dict:
+                 merge_threshold: Optional[float] = None,
+                 return_hidden: bool = True) -> Dict:
         if wav_file is not None:
             from .utils.audio import load_for_inference
 
             wav = load_for_inference(wav_file)
         wav = np.asarray(wav, np.float32).reshape(-1)
-        total_frames = max(len(wav) // FRAME - 1, 1)  # conv yields ~L/320 - 1
+        total_frames = max(len(wav) // FRAME - 1, 1)
 
         step = self.chunk_frames - self.overlap_frames
         starts = list(range(0, max(total_frames - self.overlap_frames, 1), step))
 
-        # one window covers everything -> plain path
         if len(starts) == 1:
-            out = self.segmenter(wav=wav, in_second=in_second,
-                                 norm_threshold=norm_threshold,
-                                 merge_threshold=merge_threshold)
-            return out
+            return self.segmenter(wav=wav, in_second=in_second,
+                                  norm_threshold=norm_threshold,
+                                  merge_threshold=merge_threshold)
 
-        # cut windows on the frame grid (samples = frames * 320, padded a bit
-        # so the conv frontend yields >= chunk_frames frames)
         windows = []
         for s in starts:
             lo = s * FRAME
             hi = min((s + self.chunk_frames) * FRAME + FRAME, len(wav))
             windows.append(wav[lo:hi])
 
+        mode = True if return_hidden else "device"
         results: List[Dict] = []
         for i in range(0, len(windows), self.batch_windows):
             results.extend(self.segmenter.process(
                 windows[i: i + self.batch_windows], in_second=False,
                 norm_threshold=norm_threshold,
-                merge_threshold=merge_threshold))
+                merge_threshold=merge_threshold,
+                return_hidden=mode))
 
-        hidden, segments = self._stitch(starts, results)
-        feats = (np.stack([hidden[s:e].mean(0) for s, e in segments])
-                 if len(segments) else np.array([]))
-        segments = np.asarray(segments, np.int64).reshape(-1, 2)
-        return {
+        cuts = self._cuts(starts, results)
+        stitched = self._stitch_segments(starts, results, cuts)
+
+        if return_hidden:
+            hidden = self._stitch_hidden(starts, results, cuts)
+            feats = (np.stack([hidden[s:e].mean(0) for _, s, e, _ in stitched])
+                     if stitched else np.array([]))
+        else:
+            hidden = None
+            feats = self._features_fast(starts, results, stitched)
+
+        segments = np.asarray([[s, e] for _, s, e, _ in stitched],
+                              np.int64).reshape(-1, 2)
+        out = {
             "segments": segments / FRAME_RATE if in_second else segments,
             "segment_features": feats,
-            "hidden_states": hidden,
         }
+        if return_hidden:
+            out["hidden_states"] = hidden
+        return out
 
-    def _stitch(self, starts: List[int], results: List[Dict]):
-        """Merge per-window (hidden_states, segments) into global tracks."""
+    # ------------------------------------------------------------------
+
+    def _n_frames(self, r: Dict) -> int:
+        return len(r["frame_norms"])
+
+    def _cuts(self, starts: List[int], results: List[Dict]) -> List[int]:
+        """Cut frame per overlap: lowest combined frame norm."""
         n = len(results)
-        hs = [r["hidden_states"] for r in results]
-        norms = [np.sqrt((h ** 2).sum(-1) + 1e-8) for h in hs]
-        # global segment lists per window
-        seg_lists = [np.asarray(r["segments"], np.int64).reshape(-1, 2)
-                     + starts[i] for i, r in enumerate(results)]
-
-        # choose cut frames inside each overlap: lowest mean frame norm
         cuts = []
         for i in range(n - 1):
             ov_lo = starts[i + 1]
-            ov_hi = min(starts[i] + len(hs[i]), starts[i + 1] + len(hs[i + 1]))
+            ov_hi = min(starts[i] + self._n_frames(results[i]),
+                        starts[i + 1] + self._n_frames(results[i + 1]))
             if ov_hi <= ov_lo:
                 cuts.append(ov_lo)
                 continue
-            a = norms[i][ov_lo - starts[i]: ov_hi - starts[i]]
-            b = norms[i + 1][: ov_hi - ov_lo]
+            a = results[i]["frame_norms"][ov_lo - starts[i]: ov_hi - starts[i]]
+            b = results[i + 1]["frame_norms"][: ov_hi - ov_lo]
             m = min(len(a), len(b))
             cuts.append(ov_lo + int(np.argmin(a[:m] + b[:m])) if m else ov_lo)
+        return cuts
 
-        # stitched hidden-state track
-        pieces = []
-        for i in range(n):
-            lo = starts[i] if i == 0 else cuts[i - 1]
-            hi = starts[i] + len(hs[i]) if i == n - 1 else cuts[i]
-            pieces.append(hs[i][lo - starts[i]: hi - starts[i]])
-        hidden = np.concatenate(pieces, axis=0)
-
-        # stitched segments: window i owns [prev_cut, cut_i)
-        out: List[List[int]] = []
+    def _stitch_segments(self, starts, results, cuts
+                         ) -> List[Tuple[int, int, int, bool]]:
+        """-> [(window_idx, start, end, truncated)], global frames."""
+        n = len(results)
+        out: List[Tuple[int, int, int, bool]] = []
         for i in range(n):
             lo = -1 if i == 0 else cuts[i - 1]
             hi = np.inf if i == n - 1 else cuts[i]
-            for s, e in seg_lists[i]:
+            segs = np.asarray(results[i]["segments"], np.int64).reshape(-1, 2) \
+                + starts[i]
+            for s, e in segs:
                 s2, e2 = max(s, lo if lo >= 0 else s), min(e, hi)
                 if e2 - s2 <= 0:
                     continue
-                if out and out[-1][1] > s2:
-                    s2 = out[-1][1]
+                if out and out[-1][2] > s2:
+                    s2 = out[-1][2]
                     if e2 - s2 <= 0:
                         continue
-                out.append([int(s2), int(e2)])
-        return hidden, out
+                out.append((i, int(s2), int(e2), (s2 != s or e2 != e)))
+        return out
+
+    def _stitch_hidden(self, starts, results, cuts) -> np.ndarray:
+        n = len(results)
+        pieces = []
+        for i in range(n):
+            h = results[i]["hidden_states"]
+            lo = starts[i] if i == 0 else cuts[i - 1]
+            hi = starts[i] + len(h) if i == n - 1 else cuts[i]
+            pieces.append(h[lo - starts[i]: hi - starts[i]])
+        return np.concatenate(pieces, axis=0)
+
+    def _features_fast(self, starts, results, stitched) -> np.ndarray:
+        """Window-pooled features for untruncated segments; lazy device-slice
+        fetch + re-pool for the few segments clipped at cut points."""
+        if not stitched:
+            return np.array([])
+        feats = []
+        for (w, s, e, truncated) in stitched:
+            r = results[w]
+            if not truncated:
+                segs_w = np.asarray(r["segments"], np.int64).reshape(-1, 2) \
+                    + starts[w]
+                idx = np.where((segs_w[:, 0] == s) & (segs_w[:, 1] == e))[0]
+                if len(idx):
+                    feats.append(np.asarray(r["segment_features"][idx[0]]))
+                    continue
+            ls, le = s - starts[w], e - starts[w]
+            sl = np.asarray(r["hidden_states_device"][ls:le])  # tiny fetch
+            feats.append(sl.mean(0))
+        return np.stack(feats)

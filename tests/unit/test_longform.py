@@ -15,14 +15,21 @@ class _FakeSegmenter:
         self.states, self.nt, self.mt = states, nt, mt
 
     def process(self, wavs, in_second=False, norm_threshold=None,
-                merge_threshold=None):
+                merge_threshold=None, return_hidden=True):
         outs = []
         for w in wavs:
-            lo = w[0]          # encoded window start frame
-            n = w[1]           # frames in window
+            lo, n = w
             st = self.states[lo: lo + n]
             segs = segment_oracle(st, self.nt, self.mt)
-            outs.append({"segments": segs, "hidden_states": st})
+            outs.append({
+                "segments": segs,
+                "hidden_states": st,
+                "hidden_states_device": st,
+                "frame_norms": np.sqrt((st ** 2).sum(-1) + 1e-8),
+                "segment_features": (np.stack([st[s:e].mean(0)
+                                               for s, e in segs])
+                                     if len(segs) else np.array([])),
+            })
         return outs
 
 
@@ -42,6 +49,18 @@ def _track(rng, L=900, d=32):
     return states
 
 
+def _run_stitch(lf, states):
+    step = lf.chunk_frames - lf.overlap_frames
+    L = len(states)
+    starts = list(range(0, max(L - lf.overlap_frames, 1), step))
+    windows = [(s, min(lf.chunk_frames, L - s)) for s in starts]
+    results = lf.segmenter.process(windows)
+    cuts = lf._cuts(starts, results)
+    stitched = lf._stitch_segments(starts, results, cuts)
+    hidden = lf._stitch_hidden(starts, results, cuts)
+    return starts, results, cuts, stitched, hidden
+
+
 def test_stitching_matches_full_pass_on_shared_states():
     """When window states equal slices of one global track (no attention
     edge effects), stitched segments must equal the full-pass segmentation
@@ -57,33 +76,43 @@ def test_stitching_matches_full_pass_on_shared_states():
     lf.overlap_frames = 60
     lf.batch_windows = 4
 
-    step = lf.chunk_frames - lf.overlap_frames
-    L = len(states)
-    starts = list(range(0, max(L - lf.overlap_frames, 1), step))
-    windows = [(s, min(lf.chunk_frames, L - s)) for s in starts]
-    results = lf.segmenter.process(windows)
-    hidden, segs = lf._stitch(starts, results)
+    starts, results, cuts, stitched, hidden = _run_stitch(lf, states)
 
     assert hidden.shape == states.shape
     np.testing.assert_array_equal(hidden, states)
-    segs = np.asarray(segs)
-    # structural invariants
+    segs = np.asarray([[s, e] for _, s, e, _ in stitched])
     assert (segs[:, 1] > segs[:, 0]).all()
     assert (segs[1:, 0] >= segs[:-1, 1]).all()  # non-overlapping, ordered
-    # boundary agreement with the full pass: every full-pass boundary that is
-    # far from any cut must appear exactly
-    cuts = set()
+    # every full-pass boundary far from any cut must appear exactly
+    cut_zone = set()
     for i in range(len(starts) - 1):
-        cuts.update(range(starts[i + 1] - 5, starts[i] + lf.chunk_frames + 5))
+        cut_zone.update(range(starts[i + 1] - 5,
+                              starts[i] + lf.chunk_frames + 5))
     got_bounds = set(segs.flatten().tolist())
     missing = [b for b in want.flatten().tolist()
-               if b not in got_bounds and b not in cuts]
+               if b not in got_bounds and b not in cut_zone]
     assert not missing, f"lost boundaries away from cuts: {missing[:10]}"
-    # overall boundary F1 should be high even counting cut regions
     want_b = set(want.flatten().tolist())
     inter = len(got_bounds & want_b)
     f1 = 2 * inter / (len(got_bounds) + len(want_b))
     assert f1 > 0.9, f1
+
+
+def test_fast_features_equal_full_pool():
+    """Fast path (window features + lazy re-pool of truncated segments)
+    must equal pooling from the stitched hidden track."""
+    rng = np.random.RandomState(3)
+    states = _track(rng, L=700)
+    lf = LongFormSegmenter.__new__(LongFormSegmenter)
+    lf.segmenter = _FakeSegmenter(states, 2.0, 0.8)
+    lf.chunk_frames = 250
+    lf.overlap_frames = 50
+    lf.batch_windows = 4
+
+    starts, results, cuts, stitched, hidden = _run_stitch(lf, states)
+    fast = lf._features_fast(starts, results, stitched)
+    full = np.stack([hidden[s:e].mean(0) for _, s, e, _ in stitched])
+    np.testing.assert_allclose(fast, full, atol=1e-5, rtol=1e-5)
 
 
 def test_longform_api_smoke():
@@ -108,3 +137,11 @@ def test_longform_api_smoke():
         assert (segs[:, 1] > segs[:, 0]).all()
         assert (segs[1:, 0] >= segs[:-1, 1]).all()
         assert len(out["segment_features"]) == len(segs)
+
+    # fast path: same segments, same features, no hidden track
+    fast = lf(wav=wav, in_second=False, norm_threshold=1.0,
+              merge_threshold=0.9, return_hidden=False)
+    assert "hidden_states" not in fast
+    np.testing.assert_array_equal(fast["segments"], segs)
+    np.testing.assert_allclose(fast["segment_features"],
+                               out["segment_features"], atol=2e-4, rtol=1e-3)

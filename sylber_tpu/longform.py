@@ -183,6 +183,9 @@ class LongFormSegmenter:
                     feats.append(np.asarray(r["segment_features"][idx[0]]))
                     continue
             ls, le = s - starts[w], e - starts[w]
-            sl = np.asarray(r["hidden_states_device"][ls:le])  # tiny fetch
-            feats.append(sl.mean(0))
+            h = r["hidden_states_device"]
+            if hasattr(h, "device"):  # jax array: mean on device, fetch (d,)
+                feats.append(np.asarray(h[ls:le].mean(axis=0)))
+            else:
+                feats.append(np.asarray(h[ls:le]).mean(0))
         return np.stack(feats)

@@ -1,0 +1,1 @@
+"""Input pipeline: datasets, crops, noise mixing."""

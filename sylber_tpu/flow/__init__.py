@@ -1,0 +1,1 @@
+"""Flow matching: CFM loss, ODE samplers, quantizers, k-means."""

@@ -1,0 +1,1 @@
+"""Checkpoint IO: torch conversion, Orbax save/restore."""

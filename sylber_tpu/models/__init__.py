@@ -1,0 +1,1 @@
+"""Model definitions: HuBERT encoder, voicebox flow regressor, Sylber facade."""

@@ -1,0 +1,1 @@
+"""Compute ops: segmentation scan, attention dispatch, Pallas kernels."""

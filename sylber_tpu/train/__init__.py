@@ -1,0 +1,1 @@
+"""Training: distillation steps, EMA, thresholder, LR, loop."""

@@ -1,0 +1,1 @@
+"""Utilities: audio IO, metrics, profiling, native bindings."""

@@ -156,6 +156,15 @@ class SegmentSynthesis:
             k3, dummy_x, jnp.zeros((1,)), cond_emb=dummy_emb)["params"]
         return SynthesisParams(hubert, input_mlp, regressor)
 
+    def save(self, path: str) -> None:
+        """Save params as an Orbax checkpoint (dict layout, so restore does
+        not depend on the NamedTuple registration)."""
+        from .io.checkpoint import save_params
+
+        save_params(path, {"hubert": self.params.hubert,
+                           "input_mlp": self.params.input_mlp,
+                           "regressor": self.params.regressor})
+
     def _load(self, path: str) -> SynthesisParams:
         from pathlib import Path
 
@@ -164,7 +173,9 @@ class SegmentSynthesis:
             from .io.checkpoint import load_params
 
             tree = load_params(str(p))
-            return SynthesisParams(**tree) if isinstance(tree, dict) else tree
+            if isinstance(tree, dict):
+                return SynthesisParams(**tree)
+            return SynthesisParams(*tree)
         if not p.exists():
             # reference: hub-hosted synthesis checkpoint (demo.ipynb cell 8)
             try:

@@ -151,3 +151,13 @@ def test_bucketing_bounds_recompiles(setup):
     seg(wav=synth_speech(rng, 17000), in_second=False,
         norm_threshold=1.0, merge_threshold=0.9)
     assert seg._forward_segment._cache_size() == 2
+
+
+def test_ultra_short_input(setup):
+    """Sub-frame audio: zero frames, empty segments, no crash."""
+    _, seg = setup
+    out = seg(wav=np.zeros(100, np.float32), in_second=False,
+              norm_threshold=1.0, merge_threshold=0.9)
+    assert out["hidden_states"].shape[0] == 0
+    assert len(out["segments"]) == 0
+    assert len(out["segment_features"]) == 0

@@ -306,3 +306,23 @@ def test_kmeans_recovers_clusters():
     # every true center has a close learned centroid
     d = np.sqrt(((true[:, None] - centroids[None]) ** 2).sum(-1)).min(1)
     assert (d < 0.5).all(), d
+
+
+def test_synthesis_orbax_roundtrip(tmp_path):
+    from sylber_tpu.synthesis import SegmentSynthesis, SynthesisConfig
+    from sylber_tpu.models.hubert import HubertConfig
+
+    cfg = SynthesisConfig(
+        encoding_layer=1,
+        hubert=HubertConfig(num_hidden_layers=1, hidden_size=32,
+                            num_attention_heads=4, intermediate_size=64,
+                            conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                            num_conv_pos_embedding_groups=4,
+                            precision="default"),
+        regressor=TINY_REG, input_output_dim=16, input_hidden_dims=(32,),
+    )
+    a = SegmentSynthesis(config=cfg)
+    a.save(str(tmp_path / "ck"))
+    b = SegmentSynthesis(config=cfg, model_ckpt=str(tmp_path / "ck"))
+    for wa, wb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))

@@ -27,11 +27,13 @@ def main():
     ap.add_argument("--synthesis-ckpt", default=None)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--encoding-layer", type=int, default=9)
     args = ap.parse_args()
 
     from sylber_tpu import Segmenter
 
-    segmenter = Segmenter(model_ckpt=args.ckpt)
+    segmenter = Segmenter(model_ckpt=args.ckpt,
+                          encoding_layer=args.encoding_layer)
     out = segmenter(wav_file=args.wav, in_second=True)
     segments = out["segments"]
     print(f"{len(segments)} syllable segments "

@@ -112,7 +112,12 @@ def train(
     init_params: Any = None,
     profile_steps: Optional[tuple] = None,
 ) -> TrainState:
-    dcfg = distill_config_from_dict(cfg.get("model", {}))
+    model_cfg = dict(cfg.get("model", {}))
+    # reference yaml keeps accumulate_grad_batches at top level (train.py:101)
+    if "accumulate_grad_batches" in cfg:
+        model_cfg.setdefault("accumulate_grad_batches",
+                             cfg["accumulate_grad_batches"])
+    dcfg = distill_config_from_dict(model_cfg)
     data_cfg = cfg.get("data", {})
     batch_size = data_cfg.get("batch_size", 8)
     max_steps = max_steps or cfg.get("max_steps", dcfg.total_steps)

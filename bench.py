@@ -33,7 +33,7 @@ def main():
 
     from sylber_tpu.api import Segmenter
 
-    n_batches = int(os.environ.get("SYLBER_BENCH_BATCHES", 12))
+    n_batches = int(os.environ.get("SYLBER_BENCH_BATCHES", 24))
     bs = int(os.environ.get("SYLBER_BENCH_BS", 32))
     precision = os.environ.get("SYLBER_BENCH_PRECISION", "default")
     dtype = jnp.dtype(os.environ.get("SYLBER_BENCH_DTYPE", "bfloat16"))

@@ -326,3 +326,17 @@ def test_synthesis_orbax_roundtrip(tmp_path):
     b = SegmentSynthesis(config=cfg, model_ckpt=str(tmp_path / "ck"))
     for wa, wb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
         np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+
+def test_expand_feature():
+    from sylber_tpu.synthesis import expand_feature
+
+    fts = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 3, 4))
+    # (voiced_len, gap_len) per segment; totals equal across batch
+    durs = jnp.asarray(np.array([[[2, 1], [1, 0], [3, 2]]], np.int32))
+    out = np.asarray(expand_feature(fts, durs))
+    assert out.shape == (1, 9, 4)
+    np.testing.assert_array_equal(out[0, 0], out[0, 1])      # repeat
+    assert (out[0, 2] == 0).all()                            # gap token
+    np.testing.assert_array_equal(out[0, 3], np.asarray(fts)[0, 1])
+    assert (out[0, -2:] == 0).all()

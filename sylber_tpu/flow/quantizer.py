@@ -19,7 +19,7 @@ All pure functions over explicit param pytrees (jit/vmap/pjit friendly).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ this reuses the stitching philosophy of.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List
 
 import numpy as np
 

@@ -35,7 +35,7 @@ from .flow.cfm import cfm_loss, sample_midpoint
 from .models.hubert import HubertConfig, HubertModel, feature_vector_attention_mask
 from .models.voicebox import Regressor, RegressorConfig
 from .ops.segment import averaged_target_fill, segment_batch
-from .train.thresholder import ThresholderState, get_threshold, thresholder_init
+from .train.thresholder import get_threshold, thresholder_init
 
 
 class RFF(nn.Module):

@@ -15,7 +15,7 @@ notebook; here it is a first-class API:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ import os
 import subprocess
 import threading
 from pathlib import Path
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

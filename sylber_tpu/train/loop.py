@@ -208,4 +208,11 @@ def train(
 
     mgr.wait()
     mgr.close()
+    # bare student params for the next stage's `model_ckpt` hand-off
+    # (reference: cross-stage strict=False load, train.py:49-60) and for
+    # Segmenter(model_ckpt=...) inference
+    from ..io.checkpoint import save_params
+
+    save_params(os.path.join(out_dir, "params_final"),
+                jax.device_get(state.params))
     return state

@@ -66,3 +66,24 @@ def test_loop_stage2_online(tmp_path):
     assert int(np.asarray(state.step)) == 2
     thr = float(np.asarray(state.thresholder.signal_mean))
     assert np.isfinite(thr) and thr != 6.1  # stats moved
+
+
+def test_stage_handoff(tmp_path):
+    """Stage 1 -> params_final export -> stage 2 init from it (the
+    reference's cross-stage checkpoint flow, train.py:49-60)."""
+    import jax
+
+    from sylber_tpu.io.checkpoint import load_params
+    from sylber_tpu.train.loop import train
+
+    out1 = str(tmp_path / "stage1")
+    s1 = train(_cfg(), out_dir=out1, max_steps=2, log_every=1, ckpt_every=1)
+
+    params = load_params(out1 + "/params_final")
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out2 = str(tmp_path / "stage2")
+    s2 = train(_cfg(stage2=True), out_dir=out2, max_steps=1, log_every=1,
+               ckpt_every=1, init_params=params)
+    assert int(np.asarray(s2.step)) == 1

@@ -122,9 +122,9 @@ def load_quantizer(config=None, ckpt=None):
             config = yaml.safe_load(f)
     if config is None:
         assert ckpt is not None
-        import torch
+        from ..io.torch_convert import torch_load
 
-        obj = torch.load(ckpt, map_location="cpu", weights_only=False)
+        obj = torch_load(ckpt)
         config = obj["config"]
         state_dict = obj.get("state_dict")
     if "model" in config:
@@ -144,9 +144,9 @@ def load_quantizer(config=None, ckpt=None):
         separate_norm=config.get("separate_norm", True),
     )
     if state_dict is None and ckpt is not None:
-        import torch
+        from ..io.torch_convert import torch_load
 
-        obj = torch.load(ckpt, map_location="cpu", weights_only=False)
+        obj = torch_load(ckpt)
         state_dict = obj.get("state_dict", obj)
     if state_dict is not None:
         from ..io.torch_convert import quantizer_state_from_torch

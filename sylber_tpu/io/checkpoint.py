@@ -65,6 +65,15 @@ class TrainCheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def should_save(self, step: int) -> bool:
+        """True iff a save(step) would actually persist (interval hit).
+
+        Callers must check this before fetching device state: a
+        ``jax.device_get`` of the full train state every step forces a
+        pipeline sync + ~1 GB D2H per iteration even when Orbax would
+        drop the save."""
+        return bool(self._mgr.should_save(step))
+
     def save(self, step: int, state: Any) -> None:
         import orbax.checkpoint as ocp
 

@@ -18,9 +18,34 @@ Keys not consumed by the 9-layer encoder are ignored (strict=False parity).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping
 
 import numpy as np
+
+
+def torch_load(path: str):
+    """`torch.load` that refuses arbitrary-pickle execution by default.
+
+    Tries ``weights_only=True`` first (tensors/containers only — covers bare
+    state_dicts and plain tensor checkpoints, including everything the HF-hub
+    fallback fetches). Checkpoints that genuinely need full unpickling
+    (e.g. Lightning ckpts embedding config objects) require the explicit
+    opt-in ``SYLBER_TPU_UNSAFE_TORCH_LOAD=1``.
+    """
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if os.environ.get("SYLBER_TPU_UNSAFE_TORCH_LOAD") == "1":
+            return torch.load(path, map_location="cpu", weights_only=False)
+        raise RuntimeError(
+            f"{path} is not loadable with weights_only=True ({e}). If you "
+            "trust this checkpoint (e.g. a local Lightning ckpt with pickled "
+            "config objects), set SYLBER_TPU_UNSAFE_TORCH_LOAD=1 to allow "
+            "full unpickling."
+        ) from e
 
 
 def _np(t: Any) -> np.ndarray:
@@ -125,9 +150,7 @@ def load_torch_checkpoint(path: str, num_hidden_layers: int = 9):
     ``net.speech_model.`` prefix (training checkpoints, see
     `/root/reference/train.py:49-60`).
     """
-    import torch
-
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    obj = torch_load(path)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     # strip common prefixes
@@ -240,11 +263,9 @@ def input_mlp_params_from_torch(sd: Mapping[str, Any],
 def load_synthesis_checkpoint(path: str, config) -> Any:
     """Load a torch SegmentSynthesis checkpoint (e.g. the reference's
     `synthesis_sylber.ckpt`) into `SynthesisParams`."""
-    import torch
-
     from ..synthesis import SynthesisParams
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    obj = torch_load(path)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     if any(k.startswith("net.") for k in obj):

@@ -6,6 +6,16 @@
 // accelerator is attached, and (b) as a second, independently-written oracle
 // in the test suite. Exposed through ctypes (sylber_tpu/utils/native.py).
 //
+// Exactness contract (margin-gated): dot products / norms here accumulate in
+// double, which is strictly MORE accurate than the numpy oracle's float32
+// pairwise summation — so each thresholded decision (norm gate, cosine
+// merge, sweep argmax) agrees with the oracle whenever the oracle's decision
+// margin (segment_oracle(return_margin=True)) exceeds the f32 round-off of
+// the reductions (~1e-5 at d=768). Decisions inside that margin are
+// numerically ambiguous in ANY implementation (including the reference vs
+// itself across BLAS builds) and may flip; tests gate exact equality on the
+// reported margin (tests/unit/test_native_segment.py).
+//
 // Build: g++ -O3 -shared -fPIC -o libsylber_segment.so segment.cc
 
 #include <cmath>

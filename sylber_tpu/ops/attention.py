@@ -63,17 +63,24 @@ def dot_product_attention(
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     precision: str = "highest",
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """(B, H, L, D) attention with fp32 softmax.
 
     ``bias`` is an additive fp32 bias broadcastable to (B, H, L, L) (0 for
     attended, large-negative for masked), matching HF's mask semantics.
+    When ``dropout_rng`` is given with ``dropout_rate > 0``, dropout is
+    applied to the softmax *probabilities* (HF `HubertAttention` training
+    semantics) — this forces the XLA path, since the flash kernel never
+    materializes the probability matrix.
     """
     head_dim = q.shape[-1]
     if scale is None:
         scale = head_dim ** -0.5
+    prob_dropout = dropout_rate > 0.0 and dropout_rng is not None
 
-    if _use_pallas(q.shape[-2]):
+    if _use_pallas(q.shape[-2]) and not prob_dropout:
         try:
             from .pallas.flash import flash_attention
         except ImportError:
@@ -89,6 +96,10 @@ def dot_product_attention(
     if bias is not None:
         scores = scores + bias
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if prob_dropout:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                       preferred_element_type=jnp.float32,
                       precision=precision).astype(q.dtype)
@@ -123,12 +134,13 @@ class MultiHeadSelfAttention(nn.Module):
         k = split(dense("k_proj")(x))
         v = split(dense("v_proj")(x))
 
+        drop_rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            drop_rng = self.make_rng("dropout")
         out = dot_product_attention(q, k, v, bias=bias,
-                                    precision=self.precision)
-        # NOTE: attention-prob dropout (HF applies it inside SDPA) is applied
-        # here on the attention *output* instead; both are disabled in eval
-        # and the reference trains with the same rate. Documented deviation.
-        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+                                    precision=self.precision,
+                                    dropout_rate=self.dropout_rate,
+                                    dropout_rng=drop_rng)
 
         b, h, l, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)

@@ -246,9 +246,14 @@ def make_train_step(cfg: DistillConfig):
     optimizer = make_optimizer(cfg)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
-        # EMA update precedes the forward, as in the reference
-        # (`sylber_trainer.py:34-35`: ema_step() at each accumulation boundary)
-        ema_params = ema_update(state.ema_params, state.params, cfg.ema_decay)
+        # EMA update precedes the forward and fires only at accumulation
+        # boundaries (`sylber_trainer.py:34-35`: ema_step() when
+        # global_step % accumulate_grad_batches == 0); off-boundary
+        # micro-batches use decay 1.0 (no-op) so the teacher decays by
+        # `decay` per optimizer step, not decay**k.
+        boundary = state.step % cfg.accumulate_grad_batches == 0
+        decay = jnp.where(boundary, cfg.ema_decay, 1.0)
+        ema_params = ema_update(state.ema_params, state.params, decay)
 
         (loss, aux), grads = jax.value_and_grad(distill_loss, has_aux=True)(
             state.params, ema_params, state.thresholder, batch, rng, cfg

@@ -146,7 +146,12 @@ def train(
         print(f"resumed from step {mgr.latest_step}")
 
     logger = MetricLogger(out_dir)
-    train_ds = build_dataset(data_cfg, "train", seed=cfg.get("seed", 0))
+    start = int(jax.device_get(state.step))
+    # On resume, reseed the data stream from the restored step so steps
+    # start..N don't replay the exact batches (shuffle order, crops, noise
+    # draws) already consumed by steps 0..(N-start).
+    data_seed = cfg.get("seed", 0) + (1_000_003 * start if start else 0)
+    train_ds = build_dataset(data_cfg, "train", seed=data_seed)
     stream = prefetch(_epoch_stream(train_ds, batch_size, shuffle=True))
 
     # buffer donation halves train-state memory on TPU; the XLA CPU runtime
@@ -158,12 +163,14 @@ def train(
     step_fn = jax.jit(make_train_step(dcfg), donate_argnums=donate)
     eval_fn = jax.jit(make_eval_step(dcfg))
 
-    start = int(jax.device_get(state.step))
     t_last, s_last = time.perf_counter(), start
     with jax.set_mesh(mesh):
         for step_i in range(start, max_steps):
             batch = shard_batch(next(stream), mesh)
-            rng, krng = jax.random.split(rng)
+            # per-step key derived from the step index, so a resumed run at
+            # step S uses the same key stream as an uninterrupted run
+            # (sequential splits would replay keys 0..N-S after restore)
+            krng = jax.random.fold_in(rng, step_i)
             if profile_steps and step_i == profile_steps[0]:
                 jax.profiler.start_trace(os.path.join(out_dir, "profile"))
             state, metrics = step_fn(state, batch, replicated(krng, mesh))
@@ -186,7 +193,8 @@ def train(
                 print(f"step {step_i + 1}: " + " ".join(
                     f"{k}={v:.4g}" for k, v in row.items()
                     if k not in ("time", "prefix")))
-            mgr.save(step_i + 1, jax.device_get(state))
+            if mgr.should_save(step_i + 1):
+                mgr.save(step_i + 1, jax.device_get(state))
 
             if val_every and (step_i + 1) % val_every == 0:
                 val_ds = build_dataset(data_cfg, "valid",

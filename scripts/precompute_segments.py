@@ -23,6 +23,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Some TPU plugins (axon) ignore the JAX_PLATFORMS env var; enforce it via
+# jax.config before any backend initialization.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -1,8 +1,18 @@
 """Audio I/O utilities (no torchaudio dependency).
 
 Replaces the reference's torchaudio load/resample/normalize path
-(`/root/reference/sylber/model/sylber.py:83-86`): WAV reading via stdlib
-``wave``/scipy, polyphase resampling to 16 kHz via scipy.signal, and the same
+(`/root/reference/sylber/model/sylber.py:83-86`,
+`dataset/collective_audio_segment.py:64-66`). Format dispatch is by magic
+bytes, not extension:
+
+- RIFF WAV -> scipy.io.wavfile;
+- FLAC (LibriSpeech's format) -> the framework's own decoders: the native
+  C++ one (`native/flac.cc`) first, the pure-Python one (`utils/flac.py`)
+  when no toolchain is present;
+- OGG (and anything else) -> libsndfile when available (vendored copies are
+  auto-discovered, see `utils/sndfile.py`), else a clear error.
+
+Plus polyphase resampling to 16 kHz via scipy.signal and the reference's
 zero-mean / unit-std (unbiased, matching torch.std) normalization.
 """
 
@@ -16,8 +26,45 @@ import numpy as np
 TARGET_SR = 16000
 
 
+def _load_flac(path: str | Path) -> Tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        from .native import NativeUnavailable, decode_flac_native
+
+        pcm, sr, bps = decode_flac_native(data)
+    except (NativeUnavailable, ValueError):
+        from .flac import FlacError, decode_flac
+
+        try:
+            pcm, sr, bps = decode_flac(data)
+        except FlacError as e:
+            raise FlacError(f"{path}: {e}") from e
+    return pcm.astype(np.float32) / float(1 << (bps - 1)), sr
+
+
 def load_wav(path: str | Path) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 mono-or-multi channel (C, L), sample_rate)."""
+    """Read an audio file -> (float32 (C, L) in [-1, 1], sample_rate).
+
+    Despite the name (kept for API stability) this reads WAV, FLAC and — via
+    libsndfile when present — OGG/Vorbis and other formats.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        return _load_flac(path)
+    if magic != b"RIFF":
+        # OGG ("OggS") and anything else: delegate to libsndfile if present
+        from .sndfile import SndfileUnavailable
+        from . import sndfile
+
+        try:
+            return sndfile.read(path, dtype="float32")
+        except SndfileUnavailable as e:
+            raise ValueError(
+                f"{path}: unsupported audio container {magic!r} (built-in "
+                f"decoders cover WAV and FLAC; libsndfile fallback "
+                f"unavailable: {e})") from e
     from scipy.io import wavfile
 
     sr, data = wavfile.read(str(path))

@@ -1,0 +1,259 @@
+"""End-to-end training proof on synthetic speech with known boundaries.
+
+Trains a small-but-architecturally-complete Sylber (9-layer HuBERT, 144-d)
+through the full stage-1 -> stage-2 pipeline on the synthetic syllabic corpus
+(`sylber_tpu/data/synthetic.py`), then evaluates on held-out audio:
+
+- boundary F1 of the learned online segmentation vs analytic ground truth;
+- boundary F1 of stage-2-online (learned threshold) vs oracle-offline
+  segmentation;
+- token rate (reference headline 4.27 tok/s, /root/reference/README.md:5);
+- fast-mode (bf16 everything, precision=default) vs exact-mode (f32,
+  precision=highest) segmentation agreement — the offline stand-in for the
+  real-checkpoint parity gate (BASELINE.md targets).
+
+Writes ``tests/fixtures/mini_ckpt.npz`` (float16 params + learned threshold)
+and ``tests/fixtures/mini_ckpt.json`` (config + eval numbers) consumed by
+``tests/parity/test_fast_exact_agreement.py``.
+
+Usage: python scripts/train_mini_proof.py [--out-dir runs/mini_proof]
+       [--stage1-steps 1500] [--stage2-steps 600] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Some TPU plugins (axon) ignore the JAX_PLATFORMS env var; enforce it via
+# jax.config before any backend initialization.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
+MINI_HUBERT = {
+    "hidden_size": 144,
+    "num_attention_heads": 12,
+    "intermediate_size": 576,
+    "conv_dim": [128] * 7,
+    "num_conv_pos_embeddings": 64,
+    "num_conv_pos_embedding_groups": 16,
+}
+
+
+def _model_cfg(stage2: bool, thr: dict | None, lr: float, steps: int):
+    m = {
+        "encoding_layer": 9,
+        "ema_decay": 1.0,
+        "hubert": dict(MINI_HUBERT),
+        "precision": "default",
+        "lr": lr,
+        "warmup_steps": 100,
+        "total_steps": steps,
+        "min_factor": 1.0,
+        "do_noise_augment": True,
+        "noise_mixer_configs": {"augment_prob": 0.2,
+                                "utterance_mix_ratio": 0.25},
+        "mask_prob": 0.0,
+    }
+    if stage2:
+        m.update(segment_online=True,
+                 merge_threshold_range=[0.8, 0.9],
+                 use_train_thrupdate=True,
+                 thresholder_configs=thr or {})
+    return m
+
+
+def _data_cfg(n_utts: int, stage2: bool, batch_size: int):
+    return {"synthetic": True, "n_utts": n_utts, "max_len": 80_000,
+            "batch_size": batch_size, "segment_online_data": stage2}
+
+
+def measure_norm_stats(params, hubert_config, seed=123, n_utts=8):
+    """Teacher frame-norm stats over voiced/silence frames (ground truth),
+    to initialize the stage-2 thresholder for this model's norm scale."""
+    import jax.numpy as jnp
+
+    from sylber_tpu.data.synthetic import synth_utterance
+    from sylber_tpu.models.hubert import HubertModel
+
+    model = HubertModel(hubert_config)
+    rng = np.random.RandomState(seed)
+    sig, noi = [], []
+    for _ in range(n_utts):
+        wav, segs = synth_utterance(rng, 5 * 16000)
+        w = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
+        h = np.asarray(model.apply({"params": params},
+                                   jnp.asarray(w[None]), None))
+        norms = np.sqrt((h[0].astype(np.float64) ** 2).sum(-1) + 1e-8)
+        m = np.zeros(len(norms), bool)
+        for s, e in segs:
+            m[s:min(e, len(norms))] = True
+        sig.append(norms[m])
+        noi.append(norms[~m])
+    sig = np.concatenate(sig)
+    noi = np.concatenate(noi)
+    return {"signal_mean": float(sig.mean()), "signal_var": float(sig.var()),
+            "noise_mean": float(noi.mean()), "noise_var": float(noi.var())}
+
+
+def evaluate(params, hubert_config, norm_threshold, merge_threshold=0.8,
+             n_utts=24, seed=7777):
+    """Held-out eval: F1 vs ground truth + fast-vs-exact agreement."""
+    import jax.numpy as jnp
+
+    from sylber_tpu.api import Segmenter
+    from sylber_tpu.data.synthetic import synth_utterance
+    from sylber_tpu.models.hubert import HubertConfig
+    from sylber_tpu.utils.metrics import boundary_f1, token_rate
+
+    rng = np.random.RandomState(seed)
+    wavs, truths = [], []
+    for _ in range(n_utts):
+        n = int(rng.uniform(3.0, 8.0) * 16000)
+        wav, segs = synth_utterance(rng, n)
+        wavs.append((wav - wav.mean()) / (wav.std(ddof=1) + 1e-12))
+        truths.append(segs)
+
+    import dataclasses
+
+    def seg_for(dtype, frontend_dtype, precision):
+        cfg = dataclasses.replace(hubert_config, dtype=jnp.dtype(dtype),
+                                  frontend_dtype=jnp.dtype(frontend_dtype),
+                                  precision=precision)
+        return Segmenter(params=params, hubert_config=cfg,
+                         norm_threshold=norm_threshold,
+                         merge_threshold=merge_threshold)
+
+    exact = seg_for("float32", "float32", "highest")
+    fast = seg_for("bfloat16", "bfloat16", "default")
+
+    out_e = exact.process(wavs, in_second=False, return_hidden=False)
+    out_f = fast.process(wavs, in_second=False, return_hidden=False)
+
+    f1_vs_truth = [boundary_f1(o["segments"], t, tol_frames=1)
+                   for o, t in zip(out_e, truths)]
+    f1_vs_truth_t2 = [boundary_f1(o["segments"], t, tol_frames=2)
+                      for o, t in zip(out_e, truths)]
+    f1_fast_exact = [boundary_f1(f["segments"], e["segments"], tol_frames=0)
+                     for f, e in zip(out_f, out_e)]
+    f1_fast_exact_t1 = [boundary_f1(f["segments"], e["segments"],
+                                    tol_frames=1)
+                        for f, e in zip(out_f, out_e)]
+    nseg_delta = [abs(len(f["segments"]) - len(e["segments"]))
+                  for f, e in zip(out_f, out_e)]
+    secs = [len(w) / 16000.0 for w in wavs]
+    return {
+        "boundary_f1_vs_truth_tol1": float(np.mean(f1_vs_truth)),
+        "boundary_f1_vs_truth_tol2": float(np.mean(f1_vs_truth_t2)),
+        "fast_vs_exact_boundary_f1_tol0": float(np.mean(f1_fast_exact)),
+        "fast_vs_exact_boundary_f1_tol1": float(np.mean(f1_fast_exact_t1)),
+        "fast_vs_exact_nseg_delta_mean": float(np.mean(nseg_delta)),
+        "token_rate_exact": token_rate(
+            [o["segments"] for o in out_e], secs),
+        "token_rate_truth": token_rate(truths, secs),
+        "n_eval_utts": n_utts,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="runs/mini_proof")
+    ap.add_argument("--stage1-steps", type=int, default=1500)
+    ap.add_argument("--stage2-steps", type=int, default=600)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--n-utts", type=int, default=256)
+    ap.add_argument("--fixture-dir", default=None,
+                    help="write mini_ckpt fixture here (e.g. tests/fixtures)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sylber_tpu.io.checkpoint import load_params
+    from sylber_tpu.models.hubert import HubertConfig
+    from sylber_tpu.train.loop import train
+    from sylber_tpu.train.thresholder import get_threshold
+
+    print(f"backend: {jax.default_backend()} {jax.devices()[0].device_kind}")
+
+    # ---- stage 1: distill onto ground-truth segments ----
+    cfg1 = {
+        "name": "mini_stage1", "seed": 0,
+        "model": _model_cfg(False, None, lr=5e-4, steps=args.stage1_steps),
+        "data": _data_cfg(args.n_utts, False, args.batch_size),
+        "max_steps": args.stage1_steps,
+    }
+    out1 = os.path.join(args.out_dir, "stage1")
+    train(cfg1, out_dir=out1, max_steps=args.stage1_steps, log_every=100,
+          ckpt_every=args.stage1_steps)
+    params1 = load_params(os.path.join(out1, "params_final"))
+
+    hub = HubertConfig(num_hidden_layers=9, precision="default",
+                       **{k: tuple(v) if isinstance(v, list) else v
+                          for k, v in MINI_HUBERT.items()})
+
+    # ---- thresholder init from measured stage-1 norm stats ----
+    thr_stats = measure_norm_stats(params1, hub)
+    print("measured norm stats:", json.dumps(thr_stats))
+
+    # ---- stage 2: online segmentation ----
+    cfg2 = {
+        "name": "mini_stage2", "seed": 1,
+        "model": _model_cfg(True, thr_stats, lr=2e-4,
+                            steps=args.stage2_steps),
+        "data": _data_cfg(args.n_utts, True, args.batch_size),
+        "max_steps": args.stage2_steps,
+    }
+    out2 = os.path.join(args.out_dir, "stage2")
+    state = train(cfg2, out_dir=out2, max_steps=args.stage2_steps,
+                  log_every=100, ckpt_every=args.stage2_steps,
+                  init_params=params1)
+    params2 = jax.device_get(state.params)
+    learned_thr = float(np.asarray(jax.device_get(
+        get_threshold(state.thresholder))))
+    print(f"learned norm threshold: {learned_thr:.4f}")
+
+    # ---- held-out evaluation ----
+    results = evaluate(params2, hub, learned_thr)
+    print(json.dumps(results, indent=2))
+
+    if args.fixture_dir:
+        fd = Path(args.fixture_dir)
+        fd.mkdir(parents=True, exist_ok=True)
+        flat = {}
+
+        def _flatten(tree, prefix=""):
+            for k, v in tree.items():
+                key = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    _flatten(v, key)
+                else:
+                    flat[key] = np.asarray(v, np.float16)
+
+        _flatten(params2)
+        np.savez_compressed(fd / "mini_ckpt.npz", **flat)
+        meta = {"hubert": MINI_HUBERT, "encoding_layer": 9,
+                "norm_threshold": learned_thr, "merge_threshold": 0.8,
+                "thresholder_stats": thr_stats,
+                "train": {"stage1_steps": args.stage1_steps,
+                          "stage2_steps": args.stage2_steps,
+                          "batch_size": args.batch_size,
+                          "n_utts": args.n_utts},
+                "eval": results}
+        (fd / "mini_ckpt.json").write_text(json.dumps(meta, indent=2))
+        print(f"fixture written to {fd}/mini_ckpt.npz "
+              f"({os.path.getsize(fd / 'mini_ckpt.npz') / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -218,7 +218,14 @@ def prefetch(it: Iterator, depth: int = 2) -> Iterator:
 
 
 class SyntheticSpeechDataset(SpeechDataset):
-    """In-memory synthetic corpus for tests/smoke runs (no audio on disk)."""
+    """In-memory synthetic-speech corpus (no audio on disk).
+
+    Utterances come from :mod:`sylber_tpu.data.synthetic` — syllabic audio
+    with analytically known boundaries — so smoke/e2e training runs can learn
+    and be scored against real ground truth (segments are the true syllable
+    spans, not random frames). Used by tests, the mini end-to-end training
+    proof, and the precision-agreement gates.
+    """
 
     def __init__(self, n_utts: int = 32, max_len: int = 80_000,
                  with_segments: bool = True, with_noise: bool = True,
@@ -226,6 +233,7 @@ class SyntheticSpeechDataset(SpeechDataset):
         self.max_len = max_len
         self.max_frames = max_len // FRAME_SIZE
         self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self._len = n_utts
         self.sample_by_ratio = False
         self.with_segments = with_segments
@@ -233,32 +241,44 @@ class SyntheticSpeechDataset(SpeechDataset):
         self.data_dir = "synthetic" if with_segments else None
         self.noise_files = ["synthetic"] if with_noise else None
         self.utt_seconds = utt_seconds
+        # items are deterministic per index; cache them so epoch 2+ and the
+        # prefetch thread don't re-synthesize (the 1-core host would
+        # otherwise bottleneck TPU training)
+        self._cache: Dict[int, Dict] = {}
 
     def __getitem__(self, i: int) -> Dict:
-        rng = np.random.RandomState(hash((i, 1337)) % (2 ** 31))
+        from .synthetic import synth_utterance
+
+        if i in self._cache:
+            return self._cache[i]
+        rng = np.random.RandomState((hash((i, 1337)) ^ self.seed) % (2 ** 31))
         n = int(rng.uniform(*self.utt_seconds) * 16000)
-        t = np.arange(n) / 16000.0
-        f0 = 120 + 30 * np.sin(2 * np.pi * 1.3 * t)
-        env = np.clip(np.sin(2 * np.pi * 4.27 * t), 0, None)
-        wav = (np.sin(2 * np.pi * f0 * t) * env
-               + 0.01 * rng.randn(n)).astype(np.float32)
+        wav, true_segs = synth_utterance(rng, n)
 
         frame_len = len(wav) // FRAME_SIZE
         wav = wav[: frame_len * FRAME_SIZE]
+        s = 0
         if frame_len > self.max_frames:
-            off = rng.randint(frame_len - self.max_frames)
-            wav = wav[off * FRAME_SIZE: off * FRAME_SIZE + self.max_len]
+            s = rng.randint(frame_len - self.max_frames)
+            wav = wav[s * FRAME_SIZE: s * FRAME_SIZE + self.max_len]
             frame_len = self.max_frames
+        e = s + frame_len
         wav = np.concatenate([np.zeros(BUFFER_SIZE, np.float32), wav,
                               np.zeros(BUFFER_SIZE, np.float32)])
 
         segments = None
         if self.with_segments:
-            bounds = np.sort(rng.choice(np.arange(1, max(frame_len, 3)),
-                                        size=min(12, max(frame_len - 2, 2)),
-                                        replace=False))
-            segments = bounds[: (len(bounds) // 2) * 2].reshape(-1, 2)
+            # crop/clip the true spans to the window (reference semantics,
+            # collective_audio_segment.py:88-95)
+            keep = []
+            for s_, e_ in true_segs:
+                if min(e_, e) - max(s_, s) > 0:
+                    keep.append([s_ - s, e_ - s])
+            segments = (np.array(keep, np.int64).clip(0, self.max_frames)
+                        if keep else np.zeros((0, 2), np.int64))
         noise = rng.randn(len(wav)).astype(np.float32) * 0.1 \
             if self.with_noise else None
-        return {"wav": wav, "segments": segments, "noise": noise,
-                "tag": f"synt{i}", "range": (0, frame_len)}
+        item = {"wav": wav, "segments": segments, "noise": noise,
+                "tag": f"synt{i}", "range": (s, e)}
+        self._cache[i] = item
+        return item

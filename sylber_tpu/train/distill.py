@@ -45,6 +45,8 @@ from .thresholder import ThresholderState, get_threshold, thresholder_init, upda
 class DistillConfig:
     model: HubertConfig = HubertConfig()
     ema_decay: float = 1.0                     # sylber_base.yaml:4 (frozen)
+    ema_fp32_shadow: bool = True               # fp32 EMA master for bf16 params
+                                               # (ema_module.py:79-109)
     segment_online: bool = False
     merge_threshold_range: Tuple[float, float] = (0.5, 0.7)
     use_train_thrupdate: bool = False
@@ -52,7 +54,6 @@ class DistillConfig:
     mask_prob: float = 0.0
     min_mask_n: int = 0
     max_mask_set: int = 1
-    max_mask_draws: int = 16                   # static cap on masked spans/item
     do_noise_augment: bool = False
     noise_mixer: NoiseMixerConfig = NoiseMixerConfig()
     # optimizer (sylber_trainer.py:64, train.py:99)
@@ -100,22 +101,32 @@ def init_train_state(
         params = model.init_params(rng)
     opt_state = make_optimizer(cfg).init(params)
     thr = thresholder_init(**(thresholder_kwargs or {}))
+    from .ema import ema_init
+
+    # fp32 shadow only matters (and only costs memory) for non-f32 params
+    shadow = cfg.ema_fp32_shadow and cfg.ema_decay < 1.0
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        ema_params=jax.tree.map(lambda p: p, params),
+        ema_params=ema_init(params, fp32_shadow=shadow),
         opt_state=opt_state,
         thresholder=thr,
     )
 
 
 def _span_mask(rng, segments, num_segments, num_frames, cfg: DistillConfig):
-    """Segment-span student masking (`sylber.py:277-296`).
+    """Segment-span student masking — exact reference sampling semantics
+    (`sylber.py:277-296`):
 
-    Faithful in distribution: per-segment Bernoulli(mask_prob) determines the
-    number of masked spans (floored at min_mask_n, capped at the static
-    max_mask_draws); span anchors are drawn uniformly with replacement; each
-    span covers 1..max_mask_set consecutive segments.
+    - per item with ``n_b`` segments, the number of masked spans is
+      ``max(min_mask_n, Binomial(n_b, mask_prob))`` — uncapped (up to the
+      static segment-buffer size ``MS >= n_b``, so no truncation ever
+      occurs);
+    - span anchors are drawn uniformly over ``[0, n_b)`` WITH replacement;
+    - each span covers ``1..max_mask_set`` consecutive segments (clipped at
+      ``n_b``) and masks the contiguous frame range
+      ``[seg[anchor].start, seg[last].end)`` — including any silence gap
+      frames between those segments, as the reference does.
     """
     B, MS, _ = segments.shape
     if cfg.mask_prob <= 0.0 and cfg.min_mask_n <= 0:
@@ -124,23 +135,29 @@ def _span_mask(rng, segments, num_segments, num_frames, cfg: DistillConfig):
     k1, k2, k3 = jax.random.split(rng, 3)
     seg_valid = jnp.arange(MS)[None, :] < num_segments[:, None]
     bern = (jax.random.uniform(k1, (B, MS)) < cfg.mask_prob) & seg_valid
-    mask_n = jnp.maximum(bern.sum(-1), cfg.min_mask_n)
-    mask_n = jnp.minimum(mask_n, cfg.max_mask_draws)
+    # Binomial(n_b, p) <= n_b <= MS, so MS draw slots are always enough
+    mask_n = jnp.minimum(jnp.maximum(bern.sum(-1), cfg.min_mask_n), MS)
 
-    draws = cfg.max_mask_draws
-    # anchors uniform over [0, n_b) per draw
-    u = jax.random.uniform(k2, (B, draws))
+    # anchors uniform over [0, n_b) per draw, with replacement
+    u = jax.random.uniform(k2, (B, MS))
     anchors = jnp.floor(u * jnp.maximum(num_segments, 1)[:, None]).astype(jnp.int32)
-    span = jax.random.randint(k3, (B, draws), 1, cfg.max_mask_set + 1)
+    span = jax.random.randint(k3, (B, MS), 1, cfg.max_mask_set + 1)
     lastseg = jnp.minimum(num_segments[:, None], anchors + span) - 1
     bidx = jnp.arange(B)[:, None]
     start = segments[bidx, anchors, 0]
     end = segments[bidx, jnp.maximum(lastseg, 0), 1]
-    active = (jnp.arange(draws)[None, :] < mask_n[:, None]) & (num_segments[:, None] > 0)
+    active = (jnp.arange(MS)[None, :] < mask_n[:, None]) & (num_segments[:, None] > 0)
 
-    t = jnp.arange(num_frames)[None, None, :]
-    spans = (t >= start[..., None]) & (t < end[..., None]) & active[..., None]
-    return spans.any(axis=1)
+    # frame-range union of all active spans, O(B*MS) via difference counts
+    # instead of the O(B*MS*T) broadcast: +1 at each span start, -1 at each
+    # span end, prefix-sum over frames > 0 -> masked.
+    starts = jnp.where(active, start, num_frames)
+    ends = jnp.where(active, end, num_frames)
+    delta = jnp.zeros((B, num_frames + 1), jnp.int32)
+    delta = delta.at[bidx, starts].add(1, mode="drop")
+    delta = delta.at[bidx, ends].add(-1, mode="drop")
+    cover = jnp.cumsum(delta[:, :num_frames], axis=1)
+    return cover > 0
 
 
 def distill_loss(

@@ -129,3 +129,71 @@ def test_noise_mixer_no_augment_identity():
     noise = jax.random.normal(jax.random.PRNGKey(3), (4, 100))
     out = mix_noise(jax.random.PRNGKey(4), wav, noise, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(wav), atol=1e-6)
+
+
+def test_ema_fp32_shadow_tracks_f32_run():
+    """bf16 params + fp32-shadow EMA must track an all-f32 EMA run;
+    a bf16-accumulated EMA underflows the (1-decay) increments and freezes
+    (VERDICT r1 #8; reference fp32 shadow: ema_module.py:79-109)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sylber_tpu.train.ema import ema_init, ema_restore, ema_update
+
+    rng = np.random.RandomState(0)
+    p32 = {"w": rng.randn(64).astype(np.float32)}
+    decay = 0.999
+    steps = 300
+
+    ema32 = ema_init({"w": jnp.asarray(p32["w"])})
+    ema_bf = ema_init({"w": jnp.asarray(p32["w"], jnp.bfloat16)})
+    ema_sh = ema_init({"w": jnp.asarray(p32["w"], jnp.bfloat16)},
+                      fp32_shadow=True)
+    assert ema_sh["w"].dtype == jnp.float32
+
+    cur = p32["w"].copy()
+    for t in range(steps):
+        cur = cur + rng.randn(64).astype(np.float32) * 0.01
+        ema32 = ema_update(ema32, {"w": jnp.asarray(cur)}, decay)
+        ema_bf = ema_update(ema_bf, {"w": jnp.asarray(cur, jnp.bfloat16)},
+                            decay)
+        ema_sh = ema_update(ema_sh, {"w": jnp.asarray(cur, jnp.bfloat16)},
+                            decay)
+
+    ref = np.asarray(ema32["w"])
+    err_shadow = np.abs(np.asarray(ema_sh["w"]) - ref).max()
+    err_bf16 = np.abs(np.asarray(ema_bf["w"], np.float32) - ref).max()
+    # shadow matches the f32 run to ~bf16-input noise; raw bf16 EMA is
+    # at least 10x worse (increments underflow the 8-bit mantissa)
+    assert err_shadow < 5e-3, err_shadow
+    assert err_bf16 > 10 * max(err_shadow, 1e-6), (err_bf16, err_shadow)
+
+    # restore casts the shadow back to the student dtype
+    restored = ema_restore(ema_sh, {"w": jnp.zeros(64, jnp.bfloat16)})
+    assert restored["w"].dtype == jnp.bfloat16
+
+
+def test_train_state_uses_shadow_for_low_precision_decay():
+    import jax
+    import jax.numpy as jnp
+
+    from sylber_tpu.models.hubert import HubertConfig
+    from sylber_tpu.train.distill import DistillConfig, init_train_state
+
+    cfg = DistillConfig(
+        model=HubertConfig(hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=4, intermediate_size=64,
+                           conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                           num_conv_pos_embedding_groups=4,
+                           precision="default"),
+        ema_decay=0.999)
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
+    # f32 params: shadow is a no-op, EMA leaves match param dtype
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.ema_params))
+
+    bf16_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), state.params)
+    state2 = init_train_state(cfg, jax.random.PRNGKey(0), params=bf16_params)
+    # bf16 params + decay < 1: EMA master is fp32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state2.ema_params))

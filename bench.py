@@ -5,12 +5,21 @@ segmentation + pooling) on LibriSpeech-test-clean-like utterances
 (lognormal length mix, 2-20 s, batch 32 length-bucketed) and reports
 real-time factor per chip. Baseline target: >=200x real-time per v5e chip
 (`BASELINE.json`). LibriSpeech audio is not bundled in this image, so the
-audio content is synthetic speech-like signal — throughput depends only on
-shapes, not content.
+audio content is synthetic speech (sylber_tpu/data/synthetic.py) —
+throughput depends only on shapes, but realistic content keeps the
+segmentation workload (segment counts, pass-2 sweeps) honest.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: SYLBER_BENCH_BATCHES (default 12), SYLBER_BENCH_BS (32),
-SYLBER_BENCH_PRECISION (default "default"), SYLBER_BENCH_DTYPE ("bfloat16").
+stdout: ONE JSON line {"metric", "value", "unit", "vs_baseline"} (driver
+contract). With SYLBER_BENCH_EXTRA=1, supplementary metrics are printed to
+stderr as JSON lines and written to BENCH_EXTRA.json:
+  - rtfx_fp32_parity: throughput of the exact mode (f32, precision=highest);
+  - fast_vs_exact_boundary_f1: segmentation agreement between the benched
+    fast mode and the exact mode on the same audio (tol 0 frames);
+  - longform_rtfx: one 10-minute recording through the chunked long-form
+    path (fast mode, no hidden track).
+Env knobs: SYLBER_BENCH_BATCHES (default 24), SYLBER_BENCH_BS (32),
+SYLBER_BENCH_PRECISION ("default"), SYLBER_BENCH_DTYPE ("bfloat16"),
+SYLBER_BENCH_FRONTEND_DTYPE ("bfloat16"), SYLBER_BENCH_EXTRA (0/1).
 """
 
 import json
@@ -25,6 +34,18 @@ def _lengths(rng, n, lo=2.0, hi=20.0):
     # LibriSpeech test-clean-ish: median ~6 s, right-skewed
     ls = np.exp(rng.normal(np.log(6.5), 0.55, size=n))
     return np.clip(ls, lo, hi)
+
+
+def _speech_pool(rng, n_pool=48, max_s=20.0):
+    """Pool of synthetic speech utterances (int16 PCM at full max length);
+    batches slice/tile from it so generation stays off the timed path."""
+    from sylber_tpu.data.synthetic import synth_utterance
+
+    pool = []
+    for _ in range(n_pool):
+        wav, _ = synth_utterance(rng, int(max_s * 16000))
+        pool.append(np.clip(wav * 24000, -32768, 32767).astype(np.int16))
+    return pool
 
 
 def main():
@@ -46,6 +67,7 @@ def main():
         length_bucket_s=4.0)
 
     rng = np.random.RandomState(0)
+    pool = _speech_pool(rng)
     # sort lengths within the run to bucket efficiently (production serving
     # would do the same); seconds counted from true lengths. Audio ships as
     # int16 PCM and is normalized on device (halves host->device bytes).
@@ -55,50 +77,104 @@ def main():
         lens = all_lens[i * bs: (i + 1) * bs]
         max_len = int(np.ceil(lens.max() * 16000 / seg.length_bucket)
                       ) * seg.length_bucket
-        wav = (rng.randn(bs, max_len) * 2000).astype(np.int16)
+        wav = np.zeros((bs, max_len), np.int16)
         mask = np.zeros((bs, max_len), np.int32)
         for j, l in enumerate(lens):
-            mask[j, : int(l * 16000)] = 1
-            wav[j, int(l * 16000):] = 0
+            n = int(l * 16000)
+            wav[j, :n] = pool[(i * bs + j) % len(pool)][:n]
+            mask[j, :n] = 1
         batches.append((jnp.asarray(wav), jnp.asarray(mask), lens.sum()))
 
-    def run(wav, mask):
-        hidden, res = seg._forward_segment(
-            seg.params, wav, mask, jnp.float32(2.6), jnp.float32(0.8))
-        return res.segments, res.num_segments, res.features
+    def make_run(s):
+        def run(wav, mask):
+            hidden, res = s._forward_segment(
+                s.params, wav, mask, jnp.float32(2.6), jnp.float32(0.8))
+            return res.segments, res.num_segments, res.features
+        return run
 
-    # warmup: compile every distinct shape. NOTE: block_until_ready does not
-    # reliably block on the axon-tunneled TPU platform, so completion is
-    # forced with a small device->host fetch of the segment counts.
-    shapes = {}
-    for wav, mask, _ in batches:
-        if wav.shape not in shapes:
-            shapes[wav.shape] = True
-            _ = np.asarray(run(wav, mask)[1])
-    print(f"compiled {len(shapes)} shape buckets", file=sys.stderr)
+    def measure(s, bb, label):
+        run = make_run(s)
+        # warmup: compile every distinct shape. NOTE: block_until_ready does
+        # not reliably block on the axon-tunneled TPU platform, so completion
+        # is forced with a small device->host fetch of the segment counts.
+        shapes = {}
+        for wav, mask, _ in bb:
+            if wav.shape not in shapes:
+                shapes[wav.shape] = True
+                _ = np.asarray(run(wav, mask)[1])
+        print(f"[{label}] compiled {len(shapes)} shape buckets",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        total_audio, results = 0.0, []
+        for wav, mask, secs in bb:
+            results.append(run(wav, mask)[1])  # async dispatch
+            total_audio += secs
+        for r in results:
+            _ = np.asarray(r)  # drain: 32 ints per batch over the wire
+        dt = time.perf_counter() - t0
+        print(f"[{label}] {total_audio:.0f}s audio in {dt:.3f}s on "
+              f"{jax.devices()[0].device_kind}", file=sys.stderr)
+        return total_audio / dt
 
-    t0 = time.perf_counter()
-    total_audio = 0.0
-    results = []
-    for wav, mask, secs in batches:
-        results.append(run(wav, mask)[1])  # async dispatch
-        total_audio += secs
-    for r in results:
-        _ = np.asarray(r)  # drain: 32 ints per batch over the wire
-    dt = time.perf_counter() - t0
-
-    rtfx = total_audio / dt
-    print(
-        f"{total_audio:.0f}s audio in {dt:.3f}s on "
-        f"{jax.devices()[0].device_kind} ({precision}/{dtype})",
-        file=sys.stderr,
-    )
+    rtfx = measure(seg, batches, f"{precision}/{dtype}")
     print(json.dumps({
         "metric": "segmentation_inference_rtfx_per_chip",
         "value": round(rtfx, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / 200.0, 3),
     }))
+
+    if os.environ.get("SYLBER_BENCH_EXTRA", "0") != "1":
+        return
+
+    # ---- supplementary metrics (stderr + BENCH_EXTRA.json) ----
+    from sylber_tpu.models.hubert import HubertConfig  # noqa: F811
+    from sylber_tpu.utils.metrics import boundary_f1
+
+    extra = {"primary_rtfx": round(rtfx, 1),
+             "primary_mode": f"{precision}/{dtype}/frontend-{fdt}"}
+
+    # single-bucket subset (one compile per mode) for the exact-mode passes
+    sub = [b for b in batches if b[0].shape[1] == 8 * 16000][:6] or batches[:4]
+    seg32 = Segmenter(hubert_config=HubertConfig(
+        dtype=jnp.float32, precision="highest",
+        frontend_dtype=jnp.float32), length_bucket_s=4.0,
+        params=seg.params)
+    extra["rtfx_fp32_parity"] = round(measure(seg32, sub, "fp32/highest"), 1)
+
+    # fast-vs-exact decision agreement on identical audio
+    run_f, run_e = make_run(seg), make_run(seg32)
+    f1s, deltas = [], []
+    for wav, mask, _ in sub:
+        sf, nf, _ = (np.asarray(x) for x in run_f(wav, mask))
+        se, ne, _ = (np.asarray(x) for x in run_e(wav, mask))
+        for j in range(wav.shape[0]):
+            f1s.append(boundary_f1(sf[j, : nf[j]], se[j, : ne[j]],
+                                   tol_frames=0))
+            deltas.append(abs(int(nf[j]) - int(ne[j])))
+    extra["fast_vs_exact_boundary_f1"] = round(float(np.mean(f1s)), 5)
+    extra["fast_vs_exact_nseg_delta"] = round(float(np.mean(deltas)), 4)
+
+    # long-form: one 10-minute recording, fast path (no hidden track)
+    from sylber_tpu.longform import LongFormSegmenter
+
+    long_s = int(os.environ.get("SYLBER_BENCH_LONGFORM_S", 600))
+    lf = LongFormSegmenter(seg, chunk_seconds=30.0, overlap_seconds=2.0)
+    long_wav = np.concatenate(
+        [pool[i % len(pool)] for i in range((long_s + 19) // 20)]
+    ).astype(np.float32)
+    long_wav = long_wav[: long_s * 16000] / 24000.0
+    _ = lf(wav=long_wav, in_second=True, return_hidden=False)  # compile
+    t0 = time.perf_counter()
+    _ = lf(wav=long_wav, in_second=True, return_hidden=False)
+    extra["longform_rtfx"] = round(
+        (len(long_wav) / 16000.0) / (time.perf_counter() - t0), 1)
+
+    for k in ("rtfx_fp32_parity", "fast_vs_exact_boundary_f1",
+              "longform_rtfx"):
+        print(json.dumps({"metric": k, "value": extra[k]}), file=sys.stderr)
+    with open("BENCH_EXTRA.json", "w") as f:
+        json.dump(extra, f, indent=2)
 
 
 if __name__ == "__main__":

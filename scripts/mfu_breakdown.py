@@ -1,0 +1,179 @@
+"""Stage-2 train-step time breakdown on the real chip (VERDICT r1 #3).
+
+Times nested subsets of the full-size stage-2 training step (B=32 x 5 s,
+bf16, 9L-768) as separate jitted programs, each amortized with a
+``lax.scan`` over ITERS applications carrying a true data dependence (see
+CLAUDE.md measurement discipline). Differences between consecutive rows
+attribute wall time to: teacher forward, on-device segmentation + fill,
+student forward, backward+optimizer. Also times remat on/off and the
+f32-vs-bf16 hidden-state handoff into segmentation.
+
+Usage: SYLBER_TPU_DONATE=0 python scripts/mfu_breakdown.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Some TPU plugins (axon) ignore the JAX_PLATFORMS env var; enforce it via
+# jax.config before any backend initialization.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
+ITERS = 8
+B, SECS = 32, 5.0
+
+
+def timeit(fn, *args, reps=3):
+    """Median wall time of fn(*args), completion forced via D2H fetch."""
+    out = fn(*args)
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]  # compile+complete
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / ITERS
+
+
+def main():
+    global jax
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sylber_tpu.data.noise import mix_noise
+    from sylber_tpu.models.hubert import (HubertConfig, HubertModel,
+                                          feature_vector_attention_mask)
+    from sylber_tpu.ops.segment import averaged_target_fill, segment_batch
+    from sylber_tpu.train.distill import (DistillConfig, init_train_state,
+                                          make_train_step)
+    from sylber_tpu.train.thresholder import get_threshold, update_stats
+    from sylber_tpu.utils.profiling import hubert_train_flops, mfu
+
+    results = {}
+
+    def report(name, dt, cfg=None):
+        results[name] = round(dt * 1000, 2)
+        line = f"{name:42s} {dt * 1000:8.2f} ms/step"
+        if cfg is not None:
+            fl = hubert_train_flops(cfg, B, int(SECS * 16000) + 320)
+            line += f"  ({mfu(fl, dt, jax.devices()[0].device_kind, 1) * 100:.1f}% MFU)"
+        print(line, flush=True)
+
+    rng = np.random.RandomState(0)
+    L = int(SECS * 16000) + 320
+    wav = jnp.asarray(rng.randn(B, L).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    noise = jnp.asarray(rng.randn(B, L).astype(np.float32) * 0.1)
+
+    def build(remat=False, dtype="bfloat16"):
+        hub = HubertConfig(num_hidden_layers=9, dtype=jnp.dtype(dtype),
+                           precision="default",
+                           frontend_dtype=jnp.dtype(dtype), remat=remat)
+        cfg = DistillConfig(
+            model=hub, segment_online=True, use_train_thrupdate=True,
+            merge_threshold_range=(0.8, 0.9), do_noise_augment=True,
+            lr=5e-5, warmup_steps=0, total_steps=1000)
+        state = init_train_state(
+            cfg, jax.random.PRNGKey(0),
+            thresholder_kwargs=dict(signal_mean=6.1, signal_var=0.87,
+                                    noise_mean=0.34, noise_var=0.34))
+        return hub, cfg, state
+
+    hub, cfg, state = build()
+    model = HubertModel(hub)
+    batch = {"input_values": wav, "attention_mask": mask, "noise": noise}
+
+    def scan_n(body):
+        """Amortize: scan body over ITERS with a poison-carry dependence."""
+        def outer(c0, rng):
+            def step(c, i):
+                krng = jax.random.fold_in(rng, i)
+                out = body(c, krng)
+                # true data dependence between iterations, numerically inert
+                return c0 + out * 1e-20, out
+            c, outs = jax.lax.scan(step, c0, jnp.arange(ITERS))
+            return c
+        return jax.jit(outer)
+
+    # 1. teacher forward only (bf16 out, cast f32 as the train step does)
+    def t_fwd(c, krng):
+        h = model.apply({"params": state.ema_params},
+                        wav + c, mask).astype(jnp.float32)
+        return h.mean()
+    report("teacher fwd", timeit(scan_n(t_fwd), jnp.float32(0.0),
+                                 jax.random.PRNGKey(1)), hub)
+
+    # 2. + norms/threshold/segmentation/target fill (the stage-2 extras)
+    def t_seg(c, krng):
+        h = model.apply({"params": state.ema_params},
+                        wav + c, mask).astype(jnp.float32)
+        nt = get_threshold(state.thresholder)
+        norms = jnp.sqrt((h ** 2).sum(-1) + 1e-8)
+        fv = feature_vector_attention_mask(hub, mask, h.shape[1]).astype(bool)
+        mt = jax.random.uniform(krng, ()) * 0.1 + 0.8
+        res = segment_batch(h, nt, mt, frame_valid=fv, norms=norms)
+        fill = averaged_target_fill(h, res.segments, res.num_segments)
+        return fill.mean() + res.num_segments.sum() * 1e-9
+    report("teacher fwd + segment + fill", timeit(
+        scan_n(t_seg), jnp.float32(0.0), jax.random.PRNGKey(2)), hub)
+
+    # 3. + student forward (no grad)
+    def t_both(c, krng):
+        h = model.apply({"params": state.ema_params},
+                        wav + c, mask).astype(jnp.float32)
+        nt = get_threshold(state.thresholder)
+        norms = jnp.sqrt((h ** 2).sum(-1) + 1e-8)
+        fv = feature_vector_attention_mask(hub, mask, h.shape[1]).astype(bool)
+        mt = jax.random.uniform(krng, ()) * 0.1 + 0.8
+        res = segment_batch(h, nt, mt, frame_valid=fv, norms=norms)
+        fill = averaged_target_fill(h, res.segments, res.num_segments)
+        sin = mix_noise(krng, wav + c, noise, cfg.noise_mixer)
+        hs = model.apply({"params": state.params}, sin, mask,
+                         deterministic=False,
+                         rngs={"dropout": krng}).astype(jnp.float32)
+        return ((hs - fill) ** 2).sum(-1).mean()
+    report("+ student fwd (loss, no grad)", timeit(
+        scan_n(t_both), jnp.float32(0.0), jax.random.PRNGKey(3)), hub)
+
+    # 4. full train step (grad + AdamW), as shipped
+    def full_step_timer(cfg, state, label):
+        step_fn = make_train_step(cfg)
+
+        def body(carry, rng):
+            st = carry
+            st2, metrics = step_fn(st, batch, rng)
+            return st2, metrics["loss"]
+
+        def outer(st, rng):
+            def step(c, i):
+                return body(c, jax.random.fold_in(rng, i))
+            st2, losses = jax.lax.scan(step, st, jnp.arange(ITERS))
+            return losses
+        f = jax.jit(outer)
+        report(label, timeit(f, state, jax.random.PRNGKey(4)), cfg.model)
+
+    full_step_timer(cfg, state, "full step (bf16, no remat)")
+
+    hub_r, cfg_r, state_r = build(remat=True)
+    full_step_timer(cfg_r, state_r, "full step (bf16, remat)")
+
+    print(json.dumps(results))
+    with open("/tmp/mfu_breakdown.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -228,20 +228,11 @@ def main():
     print(json.dumps(results, indent=2))
 
     if args.fixture_dir:
+        from sylber_tpu.io.checkpoint import save_params_npz
+
         fd = Path(args.fixture_dir)
         fd.mkdir(parents=True, exist_ok=True)
-        flat = {}
-
-        def _flatten(tree, prefix=""):
-            for k, v in tree.items():
-                key = f"{prefix}/{k}" if prefix else k
-                if isinstance(v, dict):
-                    _flatten(v, key)
-                else:
-                    flat[key] = np.asarray(v, np.float16)
-
-        _flatten(params2)
-        np.savez_compressed(fd / "mini_ckpt.npz", **flat)
+        save_params_npz(str(fd / "mini_ckpt.npz"), params2, dtype=np.float16)
         meta = {"hubert": MINI_HUBERT, "encoding_layer": 9,
                 "norm_threshold": learned_thr, "merge_threshold": 0.8,
                 "thresholder_stats": thr_stats,

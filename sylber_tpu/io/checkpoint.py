@@ -30,6 +30,44 @@ def save_params(path: str, params: Any) -> None:
         ckptr.save(os.path.join(path, "params"), _np_tree(params), force=True)
 
 
+def save_params_npz(path: str, params: Any, dtype=None) -> None:
+    """Save a param pytree as a single compressed ``.npz`` (keys are
+    '/'-joined tree paths). Portable/single-file alternative to the Orbax
+    directory format — used for small checked-in fixtures and hand-offs;
+    ``dtype`` (e.g. float16) optionally downcasts floating leaves."""
+    flat = {}
+
+    def _walk(tree, prefix=""):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                _walk(v, key)
+            else:
+                a = np.asarray(v)
+                if dtype is not None and np.issubdtype(a.dtype, np.floating):
+                    a = a.astype(dtype)
+                flat[key] = a
+
+    _walk(params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str, dtype=np.float32) -> Any:
+    """Inverse of :func:`save_params_npz`; floating leaves cast to ``dtype``."""
+    z = np.load(path)
+    out: dict = {}
+    for key in z.files:
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        a = z[key]
+        if np.issubdtype(a.dtype, np.floating):
+            a = a.astype(dtype)
+        node[parts[-1]] = a
+    return out
+
+
 def load_params(path: str) -> Any:
     import orbax.checkpoint as ocp
 

@@ -31,7 +31,9 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 ITERS = 8
-B, SECS = 32, 5.0
+B = int(os.environ.get("SYLBER_MFU_B", 32))
+SECS = 5.0
+ONLY_FULL = os.environ.get("SYLBER_MFU_ONLY_FULL", "0") == "1"
 
 
 def timeit(fn, *args, reps=3):
@@ -97,28 +99,36 @@ def main():
     batch = {"input_values": wav, "attention_mask": mask, "noise": noise}
 
     def scan_n(body):
-        """Amortize: scan body over ITERS with a poison-carry dependence."""
-        def outer(c0, rng):
+        """Amortize: scan body over ITERS with a poison-carry dependence.
+        Params are explicit jit arguments — closed-over device arrays would
+        be baked into the HLO as constants and overflow the axon tunnel's
+        compile-request size limit (observed HTTP 413)."""
+        def outer(c0, rng, params, ema_params):
             def step(c, i):
                 krng = jax.random.fold_in(rng, i)
-                out = body(c, krng)
+                out = body(c, krng, params, ema_params)
                 # true data dependence between iterations, numerically inert
                 return c0 + out * 1e-20, out
             c, outs = jax.lax.scan(step, c0, jnp.arange(ITERS))
             return c
         return jax.jit(outer)
 
+    def report_maybe(name, timed_fn, cfg=None):
+        if not ONLY_FULL:
+            report(name, timed_fn(), cfg)
+
     # 1. teacher forward only (bf16 out, cast f32 as the train step does)
-    def t_fwd(c, krng):
-        h = model.apply({"params": state.ema_params},
+    def t_fwd(c, krng, params, ema_params):
+        h = model.apply({"params": ema_params},
                         wav + c, mask).astype(jnp.float32)
         return h.mean()
-    report("teacher fwd", timeit(scan_n(t_fwd), jnp.float32(0.0),
-                                 jax.random.PRNGKey(1)), hub)
+    report_maybe("teacher fwd", lambda: timeit(
+        scan_n(t_fwd), jnp.float32(0.0), jax.random.PRNGKey(1),
+        state.params, state.ema_params), hub)
 
     # 2. + norms/threshold/segmentation/target fill (the stage-2 extras)
-    def t_seg(c, krng):
-        h = model.apply({"params": state.ema_params},
+    def t_seg(c, krng, params, ema_params):
+        h = model.apply({"params": ema_params},
                         wav + c, mask).astype(jnp.float32)
         nt = get_threshold(state.thresholder)
         norms = jnp.sqrt((h ** 2).sum(-1) + 1e-8)
@@ -127,12 +137,13 @@ def main():
         res = segment_batch(h, nt, mt, frame_valid=fv, norms=norms)
         fill = averaged_target_fill(h, res.segments, res.num_segments)
         return fill.mean() + res.num_segments.sum() * 1e-9
-    report("teacher fwd + segment + fill", timeit(
-        scan_n(t_seg), jnp.float32(0.0), jax.random.PRNGKey(2)), hub)
+    report_maybe("teacher fwd + segment + fill", lambda: timeit(
+        scan_n(t_seg), jnp.float32(0.0), jax.random.PRNGKey(2),
+        state.params, state.ema_params), hub)
 
     # 3. + student forward (no grad)
-    def t_both(c, krng):
-        h = model.apply({"params": state.ema_params},
+    def t_both(c, krng, params, ema_params):
+        h = model.apply({"params": ema_params},
                         wav + c, mask).astype(jnp.float32)
         nt = get_threshold(state.thresholder)
         norms = jnp.sqrt((h ** 2).sum(-1) + 1e-8)
@@ -141,15 +152,43 @@ def main():
         res = segment_batch(h, nt, mt, frame_valid=fv, norms=norms)
         fill = averaged_target_fill(h, res.segments, res.num_segments)
         sin = mix_noise(krng, wav + c, noise, cfg.noise_mixer)
-        hs = model.apply({"params": state.params}, sin, mask,
+        hs = model.apply({"params": params}, sin, mask,
                          deterministic=False,
                          rngs={"dropout": krng}).astype(jnp.float32)
         return ((hs - fill) ** 2).sum(-1).mean()
-    report("+ student fwd (loss, no grad)", timeit(
-        scan_n(t_both), jnp.float32(0.0), jax.random.PRNGKey(3)), hub)
+    report_maybe("+ student fwd (loss, no grad)", lambda: timeit(
+        scan_n(t_both), jnp.float32(0.0), jax.random.PRNGKey(3),
+        state.params, state.ema_params), hub)
+
+    # 3b. same but student dropout disabled — isolates dropout-mask RNG cost
+    def t_both_det(c, krng, params, ema_params):
+        h = model.apply({"params": ema_params},
+                        wav + c, mask).astype(jnp.float32)
+        nt = get_threshold(state.thresholder)
+        norms = jnp.sqrt((h ** 2).sum(-1) + 1e-8)
+        fv = feature_vector_attention_mask(hub, mask, h.shape[1]).astype(bool)
+        mt = jax.random.uniform(krng, ()) * 0.1 + 0.8
+        res = segment_batch(h, nt, mt, frame_valid=fv, norms=norms)
+        fill = averaged_target_fill(h, res.segments, res.num_segments)
+        sin = mix_noise(krng, wav + c, noise, cfg.noise_mixer)
+        hs = model.apply({"params": params}, sin, mask,
+                         deterministic=True).astype(jnp.float32)
+        return ((hs - fill) ** 2).sum(-1).mean()
+    report_maybe("+ student fwd (no dropout)", lambda: timeit(
+        scan_n(t_both_det), jnp.float32(0.0), jax.random.PRNGKey(3),
+        state.params, state.ema_params), hub)
+
+    # 3c. dropout with the fast TPU-native RBG bit generator instead of the
+    # default threefry (dropout masks don't need counter-based splitting
+    # guarantees; rbg is hardware-accelerated)
+    def t_both_rbg(c, krng, params, ema_params):
+        return t_both(c, krng, params, ema_params)
+    report_maybe("+ student fwd (rbg dropout)", lambda: timeit(
+        scan_n(t_both_rbg), jnp.float32(0.0),
+        jax.random.key(3, impl="rbg"), state.params, state.ema_params), hub)
 
     # 4. full train step (grad + AdamW), as shipped
-    def full_step_timer(cfg, state, label):
+    def full_step_timer(cfg, state, label, key=None):
         step_fn = make_train_step(cfg)
 
         def body(carry, rng):
@@ -163,12 +202,17 @@ def main():
             st2, losses = jax.lax.scan(step, st, jnp.arange(ITERS))
             return losses
         f = jax.jit(outer)
-        report(label, timeit(f, state, jax.random.PRNGKey(4)), cfg.model)
+        key = jax.random.PRNGKey(4) if key is None else key
+        report(label, timeit(f, state, key), cfg.model)
 
-    full_step_timer(cfg, state, "full step (bf16, no remat)")
+    if not ONLY_FULL:
+        full_step_timer(cfg, state, "full step (bf16, no remat)")
+    full_step_timer(cfg, state, f"full step (bf16, rbg rng, B={B})",
+                    key=jax.random.key(4, impl="rbg"))
 
-    hub_r, cfg_r, state_r = build(remat=True)
-    full_step_timer(cfg_r, state_r, "full step (bf16, remat)")
+    if not ONLY_FULL:
+        hub_r, cfg_r, state_r = build(remat=True)
+        full_step_timer(cfg_r, state_r, "full step (bf16, remat)")
 
     print(json.dumps(results))
     with open("/tmp/mfu_breakdown.json", "w") as f:

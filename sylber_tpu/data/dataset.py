@@ -149,15 +149,35 @@ class SpeechDataset:
         return {"wav": wav, "segments": segments, "noise": noise, "tag": tag,
                 "range": (s, e)}
 
-    def collate(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+    def collate(self, items: List[Dict],
+                transfer: str = "float32") -> Dict[str, np.ndarray]:
+        """Build a padded batch.
+
+        ``transfer="int16"`` ships waveforms as peak-scaled int16 PCM and the
+        mask as int8, deferring the per-item zero-mean/unit-var normalization
+        to the device (the train step and the inference program both handle
+        int16 inputs): 2.6x fewer host->device bytes — the training loop's
+        throughput limiter on bandwidth-constrained links, and less PCIe
+        traffic on real hosts. Per-item peak scaling is erased by the
+        normalization, so the two modes are equivalent up to int16
+        quantization (~1e-4 relative).
+        """
         B = len(items)
         max_l = max(len(it["wav"]) for it in items)
-        input_values = np.zeros((B, max_l), np.float32)
-        attention_mask = np.zeros((B, max_l), np.int32)
+        int16 = transfer == "int16"
+        input_values = np.zeros((B, max_l), np.int16 if int16 else np.float32)
+        attention_mask = np.zeros((B, max_l),
+                                  np.int8 if int16 else np.int32)
         for i, it in enumerate(items):
-            w = _zero_mean_unit_var(it["wav"])
-            input_values[i, : len(w)] = w
-            attention_mask[i, : len(w)] = 1
+            if int16:
+                w = it["wav"]
+                peak = max(np.abs(w).max(), 1e-9)
+                input_values[i, : len(w)] = np.clip(
+                    w * (32767.0 / peak), -32767, 32767).astype(np.int16)
+            else:
+                w = _zero_mean_unit_var(it["wav"])
+                input_values[i, : len(w)] = w
+            attention_mask[i, : len(it["wav"])] = 1
         batch = {"input_values": input_values, "attention_mask": attention_mask}
 
         if items[0]["segments"] is not None:
@@ -174,16 +194,27 @@ class SpeechDataset:
             batch["segments"] = None
 
         if items[0]["noise"] is not None:
-            noise = np.zeros((B, max_l), np.float32)
-            for i, it in enumerate(items):
-                n = _zero_mean_unit_var(it["noise"]) if it["noise"].std() > 0 \
-                    else it["noise"].astype(np.float32)
-                noise[i, : len(n)] = n
+            if transfer == "int16":
+                noise = np.zeros((B, max_l), np.int16)
+                for i, it in enumerate(items):
+                    n = it["noise"]
+                    peak = max(np.abs(n).max(), 1e-9)
+                    noise[i, : len(n)] = np.clip(
+                        n * (32767.0 / peak), -32767, 32767).astype(np.int16)
+            else:
+                noise = np.zeros((B, max_l), np.float32)
+                for i, it in enumerate(items):
+                    n = _zero_mean_unit_var(it["noise"]) \
+                        if it["noise"].std() > 0 \
+                        else it["noise"].astype(np.float32)
+                    noise[i, : len(n)] = n
             batch["noise"] = noise
         return batch
 
     def batches(self, batch_size: int, shuffle: bool = True,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True,
+                transfer: str = "float32"
+                ) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
@@ -192,19 +223,25 @@ class SpeechDataset:
             idx = order[i: i + batch_size]
             if len(idx) < batch_size and drop_last:
                 break
-            yield self.collate([self[j] for j in idx])
+            yield self.collate([self[j] for j in idx], transfer=transfer)
 
 
-def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+def prefetch(it: Iterator, depth: int = 2, transform=None) -> Iterator:
     """Background-thread prefetch, keeping host IO off the device critical
-    path (replaces the reference's 16 DataLoader workers)."""
+    path (replaces the reference's 16 DataLoader workers).
+
+    ``transform`` runs in the worker thread — pass the device-put/shard
+    function here so host->device transfer overlaps the previous step's
+    compute (double buffering). Measured on the axon-tunneled v5e, staging
+    the ~30 MB stage-2 batch from the main thread serialized transfer with
+    dispatch and halved training throughput."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                q.put(transform(item) if transform is not None else item)
         finally:
             q.put(sentinel)
 

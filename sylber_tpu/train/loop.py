@@ -78,10 +78,12 @@ def build_dataset(data_cfg: Dict[str, Any], split: str = "train",
         noise_dir=d.get("noise_dir"), seed=seed)
 
 
-def _epoch_stream(dataset: SpeechDataset, batch_size: int,
-                  shuffle: bool) -> Iterator[Dict[str, np.ndarray]]:
+def _epoch_stream(dataset: SpeechDataset, batch_size: int, shuffle: bool,
+                  transfer: str = "float32"
+                  ) -> Iterator[Dict[str, np.ndarray]]:
     while True:
-        yield from dataset.batches(batch_size, shuffle=shuffle)
+        yield from dataset.batches(batch_size, shuffle=shuffle,
+                                   transfer=transfer)
 
 
 class MetricLogger:
@@ -126,7 +128,17 @@ def train(
     dp = mesh.shape["dp"]
     assert batch_size % dp == 0, (batch_size, dp)
 
-    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    # rng_impl "rbg" uses the TPU-hardware RngBitGenerator for all training
+    # randomness (dropout masks, merge draws, noise mixing). Measured on
+    # v5e: threefry dropout-mask generation costs +78 ms on the B=32 x 5 s
+    # stage-2 step (133 -> 112.6 ms full step with rbg, 29.7% -> 35.1% MFU;
+    # scripts/mfu_breakdown.py). Default stays threefry (bit-stable across
+    # platforms); shipped TPU recipes set rng_impl: rbg.
+    rng_impl = cfg.get("rng_impl", "threefry")
+    if rng_impl in ("threefry", "threefry2x32"):
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    else:
+        rng = jax.random.key(cfg.get("seed", 0), impl=rng_impl)
     thr_kwargs = cfg.get("model", {}).get("thresholder_configs") or {}
     state = init_train_state(dcfg, rng, params=init_params,
                              thresholder_kwargs=thr_kwargs)
@@ -152,7 +164,13 @@ def train(
     # draws) already consumed by steps 0..(N-start).
     data_seed = cfg.get("seed", 0) + (1_000_003 * start if start else 0)
     train_ds = build_dataset(data_cfg, "train", seed=data_seed)
-    stream = prefetch(_epoch_stream(train_ds, batch_size, shuffle=True))
+    # device transfer happens inside the prefetch worker so H2D overlaps
+    # the previous step's compute (double buffering); `transfer: int16`
+    # ships raw PCM and normalizes on device (2.6x fewer bytes per step)
+    transfer = data_cfg.get("transfer", "float32")
+    stream = prefetch(
+        _epoch_stream(train_ds, batch_size, shuffle=True, transfer=transfer),
+        transform=lambda b: shard_batch(b, mesh))
 
     # buffer donation halves train-state memory on TPU; the XLA CPU runtime
     # deadlocks in collective thunks when arguments are donated (observed on
@@ -166,7 +184,7 @@ def train(
     t_last, s_last = time.perf_counter(), start
     with jax.set_mesh(mesh):
         for step_i in range(start, max_steps):
-            batch = shard_batch(next(stream), mesh)
+            batch = next(stream)  # already device-resident (prefetch)
             # per-step key derived from the step index, so a resumed run at
             # step S uses the same key stream as an uninterrupted run
             # (sequential splits would replay keys 0..N-S after restore)
@@ -203,7 +221,8 @@ def train(
                 val_bs -= val_bs % dp or 0
                 losses = []
                 for vb, vbatch in enumerate(
-                        val_ds.batches(max(val_bs, dp), shuffle=False)):
+                        val_ds.batches(max(val_bs, dp), shuffle=False,
+                                       transfer=transfer)):
                     if vb >= limit_val_batches:
                         break
                     vm = eval_fn(state, shard_batch(vbatch, mesh),

@@ -124,3 +124,33 @@ def test_metrics():
     assert boundary_f1(a, b, 0) < 1.0
     assert segment_f1(a, b, 1) == 1.0
     assert abs(token_rate([a, b], [2.0, 1.0]) - 2.0) < 1e-9
+
+
+def test_int16_transfer_equivalent_to_float_collate():
+    """`transfer='int16'` + on-device normalization must match the float32
+    collate up to int16 quantization noise (the peak scaling applied by the
+    quantizer is erased by the zero-mean/unit-var normalization)."""
+    import jax.numpy as jnp
+
+    from sylber_tpu.data.dataset import SyntheticSpeechDataset
+    from sylber_tpu.train.distill import _pcm_normalize
+
+    # utterances shorter than the crop window -> real padding in the batch
+    ds = SyntheticSpeechDataset(n_utts=4, max_len=48000, seed=3,
+                                utt_seconds=(1.0, 2.5))
+    items = [ds[i] for i in range(4)]
+    assert len({len(it["wav"]) for it in items}) > 1
+    bf = ds.collate(items, transfer="float32")
+    bi = ds.collate(items, transfer="int16")
+
+    assert bi["input_values"].dtype == np.int16
+    assert bi["attention_mask"].dtype == np.int8
+    assert bi["noise"].dtype == np.int16
+
+    dev = np.asarray(_pcm_normalize(
+        jnp.asarray(bi["input_values"]),
+        jnp.asarray(bi["attention_mask"], jnp.int32)))
+    assert np.abs(dev - bf["input_values"]).max() < 2e-3
+    # padding stays exactly zero
+    pad = bf["attention_mask"] == 0
+    assert np.abs(dev[pad]).max() == 0.0

@@ -19,7 +19,8 @@ stderr as JSON lines and written to BENCH_EXTRA.json:
     path (fast mode, no hidden track).
 Env knobs: SYLBER_BENCH_BATCHES (default 24), SYLBER_BENCH_BS (32),
 SYLBER_BENCH_PRECISION ("default"), SYLBER_BENCH_DTYPE ("bfloat16"),
-SYLBER_BENCH_FRONTEND_DTYPE ("bfloat16"), SYLBER_BENCH_EXTRA (0/1).
+SYLBER_BENCH_FRONTEND_DTYPE ("bfloat16"), SYLBER_BENCH_EXTRA (default 1;
+set 0 to skip the supplementary passes).
 """
 
 import json
@@ -124,7 +125,7 @@ def main():
         "vs_baseline": round(rtfx / 200.0, 3),
     }))
 
-    if os.environ.get("SYLBER_BENCH_EXTRA", "0") != "1":
+    if os.environ.get("SYLBER_BENCH_EXTRA", "1") != "1":
         return
 
     # ---- supplementary metrics (stderr + BENCH_EXTRA.json) ----

@@ -182,6 +182,7 @@ def train(
     eval_fn = jax.jit(make_eval_step(dcfg))
 
     t_last, s_last = time.perf_counter(), start
+    val_ds = None
     with jax.set_mesh(mesh):
         for step_i in range(start, max_steps):
             batch = next(stream)  # already device-resident (prefetch)
@@ -215,8 +216,9 @@ def train(
                 mgr.save(step_i + 1, jax.device_get(state))
 
             if val_every and (step_i + 1) % val_every == 0:
-                val_ds = build_dataset(data_cfg, "valid",
-                                       seed=cfg.get("seed", 0) + 1)
+                if val_ds is None:  # built once, reused every interval
+                    val_ds = build_dataset(data_cfg, "valid",
+                                           seed=cfg.get("seed", 0) + 1)
                 val_bs = data_cfg.get("val_batch_size") or batch_size
                 val_bs -= val_bs % dp or 0
                 losses = []

@@ -3,11 +3,15 @@
 1. segment an utterance into syllables,
 2. visualize the frame-similarity structure (optional, needs matplotlib),
 3. resynthesize articulatory trajectories from the segment features,
-4. (externally) decode to waveform with the SPARC coder — out of scope here,
-   exactly as in the reference (`/root/reference/README.md:92-94`).
+4. decode to waveform with the in-framework HiFi-GAN articulatory vocoder
+   (--audio-out; the reference delegates this step to the external SPARC
+   package, `/root/reference/README.md:92-94` — pass --vocoder-ckpt with
+   trained/converted weights for intelligible audio, otherwise the random
+   -init vocoder demonstrates the pipeline only).
 
 Run: python examples/demo.py --wav path/to/utt.wav \
-        [--ckpt sylber.ckpt] [--synthesis-ckpt synthesis_sylber.ckpt]
+        [--ckpt sylber.ckpt] [--synthesis-ckpt synthesis_sylber.ckpt] \
+        [--audio-out resynth.wav [--vocoder-ckpt hifigan.pt]]
 Without checkpoints it runs random-init end to end (structure demo only).
 """
 
@@ -28,6 +32,14 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--encoding-layer", type=int, default=9)
+    ap.add_argument("--audio-out", default=None,
+                    help="write resynthesized waveform here (in-framework "
+                         "HiFi-GAN vocoder)")
+    ap.add_argument("--vocoder-ckpt", default=None,
+                    help="torch HiFi-GAN generator checkpoint to convert")
+    ap.add_argument("--spk-emb", default=None,
+                    help=".npy speaker embedding (default: zeros)")
+    ap.add_argument("--pitch-mean", type=float, default=120.0)
     args = ap.parse_args()
 
     from sylber_tpu import Segmenter
@@ -77,9 +89,38 @@ def main():
     print(f"articulatory trajectory: {art.shape} "
           f"(12 EMA dims + log-pitch + loudness)")
     np.save("articulation.npy", art[0])
-    print("wrote articulation.npy — decode with the external SPARC coder:")
-    print("  coder.decode(ema=art[:, :12], pitch=np.exp(art[:, 12:13])*pitch_mean,")
-    print("               loudness=art[:, 13:14], spk_emb=speaker_embedding)")
+    print("wrote articulation.npy")
+
+    if args.audio_out:
+        from sylber_tpu.vocoder import SparcDecoder
+
+        if args.vocoder_ckpt:
+            from sylber_tpu.io.torch_convert import (
+                hifigan_params_from_torch, torch_load)
+            from sylber_tpu.vocoder.sparc import SparcDecoderConfig
+
+            sd = torch_load(args.vocoder_ckpt)
+            if isinstance(sd, dict) and "generator" in sd:
+                sd = sd["generator"]
+            dcfg = SparcDecoderConfig()
+            vocoder = SparcDecoder(dcfg, params=hifigan_params_from_torch(
+                sd, dcfg.generator))
+        else:
+            vocoder = None
+            print("note: no --vocoder-ckpt; decoding with random-init "
+                  "weights (pipeline demo, not intelligible audio)")
+        spk = np.zeros(64, np.float32) if args.spk_emb is None \
+            else np.load(args.spk_emb).astype(np.float32)
+        wav_out = synth.decode_audio(art, spk, pitch_mean=args.pitch_mean,
+                                     vocoder=vocoder)[0]
+        from scipy.io import wavfile
+
+        wavfile.write(args.audio_out, 16000,
+                      np.clip(wav_out * 32767, -32768, 32767).astype(np.int16))
+        print(f"wrote {args.audio_out} ({len(wav_out) / 16000.0:.2f}s)")
+    else:
+        print("pass --audio-out out.wav to decode to waveform in-framework "
+              "(or use the external SPARC coder as the reference does)")
 
 
 if __name__ == "__main__":

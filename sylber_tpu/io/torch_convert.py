@@ -35,6 +35,8 @@ def torch_load(path: str):
     """
     import torch
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
     except Exception as e:
@@ -326,3 +328,81 @@ def quantizer_state_from_torch(sd: Mapping[str, Any], cfg) -> Any:
         art_vq=vq_state("art_vq", cfg.art_vq),
         pitch_vq=vq_state("pitch_vq", cfg.pitch_vq),
     )
+
+
+# ---------------- HiFi-GAN vocoder checkpoints ----------------
+
+def _fold_weight_norm_any(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    """Fold torch weight_norm g/v; the kept dim is inferred from g's shape
+    (its single non-singleton axis), so any ``weight_norm(dim=...)`` works."""
+    for gk, vk in ((f"{prefix}.parametrizations.weight.original0",
+                    f"{prefix}.parametrizations.weight.original1"),
+                   (f"{prefix}.weight_g", f"{prefix}.weight_v")):
+        if gk in sd:
+            g, v = _np(sd[gk]), _np(sd[vk])
+            non_single = [i for i, s in enumerate(np.shape(g)) if s > 1]
+            dim = non_single[0] if non_single else 0
+            axes = tuple(i for i in range(v.ndim) if i != dim)
+            norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=axes,
+                                                           keepdims=True))
+            return (g * v / norm).astype(v.dtype)
+    return _np(sd[f"{prefix}.weight"])
+
+
+def hifigan_params_from_torch(sd: Mapping[str, Any],
+                              config=None) -> Dict[str, Any]:
+    """Convert a jik876-style HiFi-GAN ``generator`` state_dict (weight-norm
+    g/v folded) to :class:`sylber_tpu.vocoder.hifigan.Generator` params.
+
+    Layout handled: ``conv_pre``, ``ups.{i}`` (ConvTranspose1d), flat
+    ``resblocks.{i*K+j}.convs{1,2}.{m}``, ``conv_post``. Torch Conv1d
+    (out, in, k) -> flax (k, in, out); torch ConvTranspose1d (in, out, k) ->
+    flax default layout (k, in, out) with the spatial axis flipped
+    (validated against torch.nn.ConvTranspose1d in tests)."""
+    from ..vocoder.hifigan import HiFiGANConfig
+
+    cfg = config or HiFiGANConfig()
+    n_up = len(cfg.upsample_rates)
+    n_k = len(cfg.resblock_kernel_sizes)
+    strip = ""
+    for cand in ("generator.", "model.generator.", "module."):
+        if any(k.startswith(cand) for k in sd):
+            strip = cand
+            break
+    if strip:
+        sd = {k[len(strip):]: v for k, v in sd.items() if k.startswith(strip)}
+
+    def conv(prefix):
+        w = _fold_weight_norm_any(sd, prefix)
+        out = {"kernel": np.transpose(w, (2, 1, 0))}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = _np(sd[f"{prefix}.bias"])
+        return out
+
+    def tconv(prefix):
+        w = _fold_weight_norm_any(sd, prefix)
+        # torch ConvTranspose1d weight (in, out, k) -> flax (k, in, out),
+        # spatial flip (flax ConvTranspose default transpose_kernel=False)
+        out = {"kernel": np.ascontiguousarray(
+            np.transpose(w, (2, 0, 1))[::-1])}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = _np(sd[f"{prefix}.bias"])
+        return out
+
+    params: Dict[str, Any] = {"conv_pre": conv("conv_pre"),
+                              "conv_post": conv("conv_post")}
+    for i in range(n_up):
+        params[f"ups_{i}"] = tconv(f"ups.{i}")
+        for j in range(n_k):
+            rb = f"resblocks.{i * n_k + j}"
+            block: Dict[str, Any] = {}
+            m = 0
+            while f"{rb}.convs1.{m}.weight" in sd or \
+                    f"{rb}.convs1.{m}.weight_v" in sd or \
+                    f"{rb}.convs1.{m}.parametrizations.weight.original0" in sd:
+                block[f"convs1_{m}"] = conv(f"{rb}.convs1.{m}")
+                block[f"convs2_{m}"] = conv(f"{rb}.convs2.{m}")
+                m += 1
+            assert m > 0, f"no convs found under {rb}"
+            params[f"resblock_{i}_{j}"] = block
+    return params

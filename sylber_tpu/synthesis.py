@@ -261,6 +261,21 @@ class SegmentSynthesis:
         art[..., 12] = art[..., 12] / self.config.pitch_amp
         return art, segments_out
 
+    def decode_audio(self, art: np.ndarray, spk_emb: np.ndarray,
+                     pitch_mean: float = 120.0, vocoder=None) -> np.ndarray:
+        """Articulatory trajectory -> 16 kHz waveform via the in-framework
+        :class:`sylber_tpu.vocoder.SparcDecoder` (the reference delegates
+        this step to the external SPARC package — `README.md:92-94`,
+        `demo.ipynb` cell 11). ``vocoder`` defaults to a decoder attached at
+        construction (``self.vocoder``); pass a trained/converted one for
+        intelligible audio."""
+        vocoder = vocoder or getattr(self, "vocoder", None)
+        if vocoder is None:
+            from .vocoder import SparcDecoder
+
+            vocoder = self.vocoder = SparcDecoder()
+        return vocoder(art, spk_emb, pitch_mean)
+
     def _sample(self, cond_emb, steps, rand_scale, seed):
         key = (steps, float(rand_scale))
         if key not in self._sample_fns:

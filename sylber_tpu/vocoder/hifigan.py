@@ -1,0 +1,310 @@
+"""TPU-native HiFi-GAN: generator, discriminators, losses, train step.
+
+Completes the audio-out path the reference delegates to the external SPARC
+package (`/root/reference/README.md:92-94`, `demo.ipynb` cell 11 decodes the
+14-dim articulatory trajectory with an articulatory HiFi-GAN). Architecture
+follows the standard HiFi-GAN v1 recipe (Kong et al. 2020):
+
+- Generator: input Conv -> per-stage [leaky_relu -> ConvTranspose(upsample)
+  -> multi-receptive-field fusion (parallel dilated residual blocks,
+  averaged)] -> leaky_relu -> Conv -> tanh. Default upsample rates
+  (5, 4, 4, 2, 2) = x320, mapping 50 Hz feature frames to 16 kHz samples —
+  the exact inverse of the HuBERT frontend stride.
+- Discriminators: multi-period (reshape to (T/p, p), 2D convs; periods
+  2/3/5/7/11) and multi-scale (3 average-pooled scales, 1D convs).
+- Losses: LS-GAN adversarial, feature matching (L1 over discriminator
+  activations, lambda 2), mel-spectrogram L1 (lambda 45).
+
+Transposed convs use VALID padding + symmetric crop of (kernel - stride)/2,
+which reproduces torch's ConvTranspose1d(padding=(k-u)//2) output lengths
+exactly — converted PyTorch checkpoints (weight-norm folded) match
+numerically. All convs run in the configured dtype with fp32 params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .mel import MelConfig, log_mel
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiGANConfig:
+    in_channels: int = 14                 # SPARC articulatory features
+    cond_channels: int = 0                # speaker embedding (broadcast)
+    upsample_initial_channel: int = 512
+    upsample_rates: Sequence[int] = (5, 4, 4, 2, 2)      # x320 @ 50 Hz
+    upsample_kernel_sizes: Sequence[int] = (11, 8, 8, 4, 4)
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Tuple[int, ...]] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    dtype: Any = jnp.float32
+
+    @property
+    def total_upsample(self) -> int:
+        s = 1
+        for r in self.upsample_rates:
+            s *= r
+        return s
+
+
+def _conv(ch, k, dilation=1, name=None, dtype=jnp.float32):
+    return nn.Conv(ch, (k,), kernel_dilation=(dilation,), padding="SAME",
+                   dtype=dtype, name=name)
+
+
+class ResBlock1(nn.Module):
+    """HiFi-GAN ResBlock1: pairs of (dilated, plain) convs with residuals."""
+
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for j, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = _conv(self.channels, self.kernel_size, d,
+                       name=f"convs1_{j}", dtype=self.dtype)(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = _conv(self.channels, self.kernel_size, 1,
+                       name=f"convs2_{j}", dtype=self.dtype)(xt)
+            x = x + xt
+        return x
+
+
+class Generator(nn.Module):
+    config: HiFiGANConfig
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray,
+                 cond: jnp.ndarray = None) -> jnp.ndarray:
+        """(B, T, in_channels) frame features [+ (B, cond_channels) global
+        conditioning] -> (B, T * total_upsample) waveform in [-1, 1]."""
+        cfg = self.config
+        assert cfg.upsample_initial_channel >= 2 ** len(cfg.upsample_rates), \
+            "upsample_initial_channel halves per stage and must stay >= 1"
+        x = features.astype(cfg.dtype)
+        if cfg.cond_channels:
+            assert cond is not None
+            c = jnp.broadcast_to(cond[:, None, :].astype(cfg.dtype),
+                                 (x.shape[0], x.shape[1], cfg.cond_channels))
+            x = jnp.concatenate([x, c], axis=-1)
+        x = nn.Conv(cfg.upsample_initial_channel, (7,), padding="SAME",
+                    dtype=cfg.dtype, name="conv_pre")(x)
+
+        ch = cfg.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                       cfg.upsample_kernel_sizes)):
+            ch //= 2
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            # VALID + crop reproduces torch ConvTranspose1d(padding=(k-u)//2)
+            x = nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
+                                 dtype=cfg.dtype, name=f"ups_{i}")(x)
+            crop = (k - u) // 2
+            if crop > 0:
+                x = x[:, crop:-crop]
+            acc = None
+            for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                             cfg.resblock_dilation_sizes)):
+                out = ResBlock1(ch, rk, tuple(rd), dtype=cfg.dtype,
+                                name=f"resblock_{i}_{j}")(x)
+                acc = out if acc is None else acc + out
+            x = acc / len(cfg.resblock_kernel_sizes)
+
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        x = nn.Conv(1, (7,), padding="SAME", dtype=cfg.dtype,
+                    name="conv_post")(x)
+        return jnp.tanh(x[..., 0]).astype(jnp.float32)
+
+
+# ---------------- discriminators ----------------
+
+class PeriodDiscriminator(nn.Module):
+    period: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav):
+        """(B, L) -> (logits (B, *), feature maps list)."""
+        B, L = wav.shape
+        p = self.period
+        pad = (-L) % p
+        x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect" if L > 1
+                    else "constant")
+        x = x.reshape(B, -1, p, 1)                     # (B, L/p, p, 1)
+        feats = []
+        for i, ch in enumerate((32, 128, 512, 1024)):
+            x = nn.Conv(ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)),
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            feats.append(x)
+        x = nn.Conv(1024, (5, 1), padding=((2, 2), (0, 0)),
+                    dtype=self.dtype, name="conv_4")(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        feats.append(x)
+        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
+                    name="conv_post")(x)
+        return x.reshape(B, -1).astype(jnp.float32), feats
+
+
+class ScaleDiscriminator(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav):
+        x = wav[..., None]                             # (B, L, 1)
+        feats = []
+        layer_cfg = [(128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
+                     (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
+                     (1024, 5, 1, 1)]
+        for i, (ch, k, s, groups) in enumerate(layer_cfg):
+            x = nn.Conv(ch, (k,), strides=(s,), padding="SAME",
+                        feature_group_count=groups, dtype=self.dtype,
+                        name=f"conv_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            feats.append(x)
+        x = nn.Conv(1, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv_post")(x)
+        return x[..., 0].astype(jnp.float32), feats
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav):
+        outs = [PeriodDiscriminator(p, dtype=self.dtype,
+                                    name=f"period_{p}")(wav)
+                for p in self.periods]
+        return [o[0] for o in outs], [o[1] for o in outs]
+
+
+class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav):
+        logits, feats = [], []
+        x = wav
+        for i in range(self.n_scales):
+            if i > 0:
+                x = nn.avg_pool(x[..., None], (4,), strides=(2,),
+                                padding="SAME")[..., 0]
+            l, f = ScaleDiscriminator(dtype=self.dtype, name=f"scale_{i}")(x)
+            logits.append(l)
+            feats.append(f)
+        return logits, feats
+
+
+# ---------------- losses / train step ----------------
+
+def discriminator_loss(real_logits, fake_logits):
+    """LS-GAN: real -> 1, fake -> 0."""
+    loss = 0.0
+    for r, f in zip(real_logits, fake_logits):
+        loss += jnp.mean((r - 1.0) ** 2) + jnp.mean(f ** 2)
+    return loss
+
+
+def generator_adv_loss(fake_logits):
+    return sum(jnp.mean((f - 1.0) ** 2) for f in fake_logits)
+
+
+def feature_matching_loss(real_feats, fake_feats):
+    loss = 0.0
+    for rf, ff in zip(real_feats, fake_feats):
+        for r, f in zip(rf, ff):
+            loss += jnp.mean(jnp.abs(r.astype(jnp.float32)
+                                     - f.astype(jnp.float32)))
+    return loss
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderTrainConfig:
+    model: HiFiGANConfig = HiFiGANConfig()
+    mel: MelConfig = MelConfig()
+    lambda_mel: float = 45.0
+    lambda_fm: float = 2.0
+    lr: float = 2e-4
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+
+
+def make_vocoder_train_step(cfg: VocoderTrainConfig):
+    """Returns (init_fn, step_fn) for adversarial vocoder training.
+
+    ``step_fn(state, features, wav, cond) -> (state, metrics)`` updates the
+    discriminators on (real, generated) and the generator on
+    adversarial + feature-matching + mel losses — one jitted program.
+    """
+    import optax
+
+    gen = Generator(cfg.model)
+    mpd = MultiPeriodDiscriminator(dtype=cfg.model.dtype)
+    msd = MultiScaleDiscriminator(dtype=cfg.model.dtype)
+    tx = optax.adam(cfg.lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+
+    def init_fn(rng, t_frames=32, batch=2):
+        kg, kp, ks = jax.random.split(rng, 3)
+        feats = jnp.zeros((batch, t_frames, cfg.model.in_channels))
+        cond = (jnp.zeros((batch, cfg.model.cond_channels))
+                if cfg.model.cond_channels else None)
+        gp = gen.init(kg, feats, cond)["params"]
+        wav = jnp.zeros((batch, t_frames * cfg.model.total_upsample))
+        dp = {"mpd": mpd.init(kp, wav)["params"],
+              "msd": msd.init(ks, wav)["params"]}
+        return {"gen": gp, "disc": dp,
+                "opt_gen": tx.init(gp), "opt_disc": tx.init(dp)}
+
+    def d_loss_fn(dparams, wav_real, wav_fake):
+        rl_p, _ = mpd.apply({"params": dparams["mpd"]}, wav_real)
+        fl_p, _ = mpd.apply({"params": dparams["mpd"]}, wav_fake)
+        rl_s, _ = msd.apply({"params": dparams["msd"]}, wav_real)
+        fl_s, _ = msd.apply({"params": dparams["msd"]}, wav_fake)
+        return discriminator_loss(rl_p + rl_s, fl_p + fl_s)
+
+    def g_loss_fn(gparams, dparams, features, wav_real, cond):
+        wav_fake = gen.apply({"params": gparams}, features, cond)
+        fl_p, ff_p = mpd.apply({"params": dparams["mpd"]}, wav_fake)
+        _, rf_p = mpd.apply({"params": dparams["mpd"]}, wav_real)
+        fl_s, ff_s = msd.apply({"params": dparams["msd"]}, wav_fake)
+        _, rf_s = msd.apply({"params": dparams["msd"]}, wav_real)
+        adv = generator_adv_loss(fl_p + fl_s)
+        fm = feature_matching_loss(rf_p + rf_s, ff_p + ff_s)
+        mel_l = jnp.mean(jnp.abs(log_mel(wav_fake, cfg.mel)
+                                 - log_mel(wav_real, cfg.mel)))
+        loss = adv + cfg.lambda_fm * fm + cfg.lambda_mel * mel_l
+        return loss, {"adv": adv, "fm": fm, "mel": mel_l,
+                      "wav_fake": wav_fake}
+
+    def step_fn(state, features, wav_real, cond=None):
+        wav_fake = jax.lax.stop_gradient(
+            gen.apply({"params": state["gen"]}, features, cond))
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+            state["disc"], wav_real, wav_fake)
+        d_updates, opt_disc = tx.update(d_grads, state["opt_disc"])
+        disc = optax.apply_updates(state["disc"], d_updates)
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state["gen"], disc, features, wav_real, cond)
+        g_updates, opt_gen = tx.update(g_grads, state["opt_gen"])
+        genp = optax.apply_updates(state["gen"], g_updates)
+
+        new_state = {"gen": genp, "disc": disc,
+                     "opt_gen": opt_gen, "opt_disc": opt_disc}
+        metrics = {"d_loss": d_loss, "g_loss": g_loss,
+                   "mel_l1": aux["mel"], "fm": aux["fm"], "adv": aux["adv"]}
+        return new_state, metrics
+
+    return init_fn, step_fn

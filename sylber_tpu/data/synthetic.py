@@ -62,14 +62,19 @@ def synth_utterance(
     n_samples: int,
     f0_range: Tuple[float, float] = (100.0, 240.0),
     noise_level: float = 0.003,
+    return_ids: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Generate ``n_samples`` of audio.
 
     Returns ``(wav float32 (n_samples,), segments int64 (K, 2))`` where
     segments are ground-truth ``[start, end)`` voiced spans in 50 Hz frames.
+    With ``return_ids`` also returns the per-segment phoneme-bank index
+    (K,) — the discrete "syllable identity" drawn from :data:`FORMANT_BANK`,
+    used by token-purity evaluations.
     """
     wav = np.zeros(n_samples, np.float32)
     segments = []
+    ids = []
     f0_base = rng.uniform(*f0_range)
     pos = rng.randint(0, 3) * FRAME  # small lead-in silence
     while pos < n_samples - 4 * FRAME:
@@ -81,7 +86,9 @@ def synth_utterance(
             dur_frames = dur // FRAME
             if dur_frames < 4:
                 break
-        phoneme = FORMANT_BANK[rng.randint(len(FORMANT_BANK))]
+        phoneme_id = rng.randint(len(FORMANT_BANK))
+        phoneme = FORMANT_BANK[phoneme_id]
+        ids.append(phoneme_id)
         f0 = f0_base * rng.uniform(0.85, 1.2)
         amp = rng.uniform(0.5, 1.0)
         wav[pos: pos + dur] = amp * _syllable(rng, dur, f0, phoneme)
@@ -97,6 +104,8 @@ def synth_utterance(
     wav += noise_level * rng.randn(n_samples).astype(np.float32)
     segs = (np.array(segments, np.int64) if segments
             else np.zeros((0, 2), np.int64))
+    if return_ids:
+        return wav, segs, np.asarray(ids, np.int64)
     return wav, segs
 
 

@@ -56,9 +56,7 @@ class KMQuantizer:
         if isinstance(centroids, (str,)):
             centroids = np.load(centroids)
         centroids = np.asarray(centroids, np.float32)
-        if centroids.shape[0] < centroids.shape[-1]:
-            # accept (d, K) layout too
-            centroids = centroids.T
+        assert centroids.ndim == 2, centroids.shape  # (K, d) layout required
         self.centroids = jnp.asarray(centroids)
         self.normalize = normalize
 

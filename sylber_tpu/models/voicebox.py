@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+from ..ops.gateloop import gate_loop_operator
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +41,7 @@ class RegressorConfig:
     attn_qk_norm: bool = True
     qk_norm_scale: float = 10.0
     use_unet_skip_connection: bool = False
+    use_gateloop_layers: bool = False
     skip_connect_scale: Optional[float] = None
     rope_theta: float = 50000.0
     time_hidden_dim: Optional[int] = None  # default dim * 4
@@ -166,6 +168,26 @@ class GEGLUFeedForward(nn.Module):
                         name="proj_out")(h)
 
 
+class SimpleGateLoop(nn.Module):
+    """One-headed GateLoop block (`flowmatching.py:390`: SimpleGateLoopLayer
+    with post_ln=True): RMSNorm pre-norm, a single Dense -> (q, kv, gate)
+    split, sigmoid gate, per-channel linear recurrence evaluated as a
+    parallel associative scan, post-LayerNorm. Residual is added by the
+    caller (`flowmatching.py:457`: ``x = gateloop(x) + x``)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = RMSNorm(self.dim, name="norm")(x)
+        qkva = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype,
+                        name="to_qkva")(h)
+        q, kv, a = jnp.split(qkva, 3, axis=-1)
+        out = gate_loop_operator(q, kv, jax.nn.sigmoid(a))
+        return nn.LayerNorm(name="post_ln")(out)
+
+
 class VoiceboxTransformer(nn.Module):
     """Pre-norm transformer with AdaptiveRMSNorm, register tokens, RoPE."""
 
@@ -206,6 +228,10 @@ class VoiceboxTransformer(nn.Module):
                 x = nn.Dense(c.dim, dtype=c.dtype, precision=c.precision,
                              name=f"skip_combiner_{ind}")(
                     jnp.concatenate([x, skip], axis=-1))
+
+            if c.use_gateloop_layers:
+                x = SimpleGateLoop(c.dim, dtype=c.dtype,
+                                   name=f"gateloop_{ind}")(x) + x
 
             attn_in = AdaptiveRMSNorm(c.dim, c.time_hidden,
                                       name=f"attn_norm_{ind}")(x, time_cond)

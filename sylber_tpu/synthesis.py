@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .flow.cfm import cfm_loss, sample_midpoint
+from .flow.cfm import cfm_loss, sample_adaptive, sample_midpoint
 from .models.hubert import HubertConfig, HubertModel, feature_vector_attention_mask
 from .models.voicebox import Regressor, RegressorConfig
 from .ops.segment import averaged_target_fill, segment_batch
@@ -92,7 +92,10 @@ class SynthesisConfig:
             dim=r.get("dim", 512), depth=r.get("depth", 8),
             dim_head=r.get("dim_head", 64), heads=r.get("heads", 8),
             dim_in_proj=r.get("dim_in_proj", 64),
-            dim_cond_emb=r.get("dim_cond_emb", 256), sigma=sigma)
+            dim_cond_emb=r.get("dim_cond_emb", 256), sigma=sigma,
+            use_gateloop_layers=r.get("use_gateloop_layers", False),
+            use_unet_skip_connection=r.get("use_unet_skip_connection",
+                                           False))
         i = dict(cfg.get("input_configs", {}))
         enc = cfg.get("encoding_layer", 9)
         return SynthesisConfig(
@@ -217,6 +220,7 @@ class SegmentSynthesis:
         merge_threshold: float = 0.8,
         normthreshold: Optional[float] = None,
         seed: int = 0,
+        method: str = "midpoint",
     ):
         """Returns (art (B, L, 14), segments or None), reference signature
         `segment_synthesis.py:103-146`."""
@@ -256,7 +260,7 @@ class SegmentSynthesis:
                 feats = feats[None]
             cond = self._cond_from_features(feats)
 
-        art = self._sample(cond, steps, rand_scale, seed)
+        art = self._sample(cond, steps, rand_scale, seed, method)
         art = np.array(art)  # writable host copy
         art[..., 12] = art[..., 12] / self.config.pitch_amp
         return art, segments_out
@@ -276,17 +280,28 @@ class SegmentSynthesis:
             vocoder = self.vocoder = SparcDecoder()
         return vocoder(art, spk_emb, pitch_mean)
 
-    def _sample(self, cond_emb, steps, rand_scale, seed):
-        key = (steps, float(rand_scale))
+    def _sample(self, cond_emb, steps, rand_scale, seed, method="midpoint"):
+        """``method``: fixed-grid "euler"/"midpoint"/"rk4" over ``steps``
+        points, or adaptive "tsit5"/"dopri5" (torchode/torchdiffeq-adaptive
+        equivalents; ``steps`` is ignored, error control at atol=rtol=1e-5
+        as in the reference, `flowmatching.py:806-824`)."""
+        key = (steps, float(rand_scale), method)
         if key not in self._sample_fns:
             reg, params, c = self.regressor, self.params, self.config
+            adaptive = method in ("tsit5", "dopri5")
 
             def fn(regressor_params, cond_emb, rng):
                 def field(x, t):
                     return reg.apply({"params": regressor_params}, x,
                                      jnp.asarray(t), cond_emb=cond_emb)
+                if adaptive:
+                    return sample_adaptive(field, rng, cond_emb,
+                                           c.regressor.dim_out,
+                                           rand_scale=rand_scale,
+                                           method=method)
                 return sample_midpoint(field, rng, cond_emb,
-                                       c.regressor.dim_out, steps, rand_scale)
+                                       c.regressor.dim_out, steps, rand_scale,
+                                       method=method)
 
             self._sample_fns[key] = jax.jit(fn)
         return self._sample_fns[key](self.params.regressor, cond_emb,

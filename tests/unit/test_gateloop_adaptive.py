@@ -1,0 +1,146 @@
+"""GateLoop layer + adaptive ODE solver tests.
+
+Covers the last two reference code paths that previously had no counterpart
+(VERDICT r1 missing #4): SimpleGateLoopLayer blocks in the voicebox
+Transformer (`/root/reference/sylber/model/flowmatching.py:390,456-457`)
+and the torchdiffeq/torchode adaptive sampling path
+(`flowmatching.py:796,806-824`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sylber_tpu.flow.cfm import odeint_adaptive, sample_adaptive, sample_midpoint
+from sylber_tpu.models.voicebox import Regressor, RegressorConfig, SimpleGateLoop
+from sylber_tpu.ops.gateloop import gate_loop_operator, gate_loop_operator_ref
+
+
+def test_gateloop_operator_matches_sequential():
+    rng = np.random.RandomState(0)
+    q, kv = rng.randn(2, 2, 37, 5).astype(np.float32)
+    a = 1.0 / (1.0 + np.exp(-rng.randn(2, 37, 5).astype(np.float32)))
+    out = np.asarray(gate_loop_operator(jnp.asarray(q), jnp.asarray(kv),
+                                        jnp.asarray(a)))
+    ref = gate_loop_operator_ref(q, kv, a)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gateloop_operator_is_causal():
+    rng = np.random.RandomState(1)
+    q, kv = rng.randn(2, 1, 24, 4).astype(np.float32)
+    a = 0.5 * np.ones((1, 24, 4), np.float32)
+    full = np.asarray(gate_loop_operator(*map(jnp.asarray, (q, kv, a))))
+    # perturbing the future must not change the past
+    kv2 = kv.copy()
+    kv2[:, 12:] += 100.0
+    pert = np.asarray(gate_loop_operator(*map(jnp.asarray, (q, kv2, a))))
+    np.testing.assert_array_equal(full[:, :12], pert[:, :12])
+    assert np.abs(full[:, 12:] - pert[:, 12:]).max() > 1.0
+
+
+def test_gateloop_module_and_transformer_wiring():
+    cfg = RegressorConfig(dim=32, depth=2, heads=2, dim_head=8,
+                          dim_in_proj=8, dim_cond_emb=16,
+                          num_register_tokens=2, use_gateloop_layers=True)
+    model = Regressor(cfg)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 11, 14), jnp.float32)
+    cond_emb = jnp.zeros((2, 11, 16))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)),
+                        cond_emb=cond_emb)["params"]
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("gateloop_0" in n for n in names), sorted(names)[:10]
+    out = model.apply({"params": params}, x, jnp.zeros((2,)),
+                      cond_emb=cond_emb)
+    assert out.shape == (2, 11, 14)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # standalone module: finite, shape-preserving
+    gl = SimpleGateLoop(16)
+    xs = jnp.asarray(np.random.RandomState(3).randn(3, 9, 16), jnp.float32)
+    p = gl.init(jax.random.PRNGKey(1), xs)["params"]
+    y = gl.apply({"params": p}, xs)
+    assert y.shape == xs.shape
+
+
+@pytest.mark.parametrize("method", ["dopri5", "tsit5"])
+def test_adaptive_linear_ode_exact(method):
+    """dy/dt = -2y from y0: y(1) = y0 * exp(-2), to solver tolerance."""
+    y0 = jnp.asarray(np.random.RandomState(4).randn(3, 5).astype(np.float32))
+    y1, (acc, rej) = odeint_adaptive(lambda y, t: -2.0 * y, y0,
+                                     atol=1e-6, rtol=1e-6, method=method)
+    np.testing.assert_allclose(np.asarray(y1),
+                               np.asarray(y0) * np.exp(-2.0),
+                               rtol=1e-4, atol=1e-6)
+    assert int(acc) > 0
+
+
+@pytest.mark.parametrize("method", ["dopri5", "tsit5"])
+def test_adaptive_nonlinear_matches_fine_rk4(method):
+    """Nonautonomous nonlinear field: adaptive result == dense fixed-grid
+    RK4 within tolerance; adaptive takes far fewer evaluations."""
+
+    def f(y, t):
+        return jnp.sin(3.0 * t) * y - 0.5 * jnp.tanh(y)
+
+    y0 = jnp.asarray(np.random.RandomState(5).randn(2, 7).astype(np.float32))
+
+    # dense reference with classical RK4 on 2000 intervals
+    ts = np.linspace(0.0, 1.0, 2001)
+    y = np.asarray(y0, np.float64)
+
+    def fnp(y, t):
+        return np.sin(3.0 * t) * y - 0.5 * np.tanh(y)
+
+    for t0, t1 in zip(ts[:-1], ts[1:]):
+        h = t1 - t0
+        k1 = fnp(y, t0)
+        k2 = fnp(y + h / 2 * k1, t0 + h / 2)
+        k3 = fnp(y + h / 2 * k2, t0 + h / 2)
+        k4 = fnp(y + h * k3, t1)
+        y = y + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    y1, (acc, rej) = odeint_adaptive(f, y0, atol=1e-5, rtol=1e-5,
+                                     method=method)
+    np.testing.assert_allclose(np.asarray(y1), y, rtol=1e-3, atol=1e-5)
+    assert int(acc) + int(rej) < 200  # adaptivity: way under the dense grid
+
+
+def test_adaptive_rejects_on_tight_tol():
+    """With a huge initial step and tight tolerance the controller must
+    reject and shrink rather than accept garbage."""
+
+    def f(y, t):
+        return jnp.cos(40.0 * t) * (1.0 + y * y) * 0.1
+
+    y0 = jnp.ones((4,), jnp.float32)
+    y1, (acc, rej) = odeint_adaptive(f, y0, atol=1e-8, rtol=1e-8, h0=1.0)
+    assert int(rej) > 0
+    assert np.isfinite(np.asarray(y1)).all()
+
+
+def test_sample_adaptive_matches_dense_midpoint_on_regressor():
+    """On a real (random-init) Regressor vector field, the adaptive sampler
+    lands on the same trajectory endpoint as a dense fixed-grid pass."""
+    cfg = RegressorConfig(dim=32, depth=1, heads=2, dim_head=8,
+                          dim_in_proj=8, dim_cond_emb=16,
+                          num_register_tokens=0, dim_out=6)
+    model = Regressor(cfg)
+    cond_emb = jnp.asarray(
+        np.random.RandomState(6).randn(2, 13, 16).astype(np.float32))
+    x0 = jnp.zeros((2, 13, 6))
+    params = model.init(jax.random.PRNGKey(2), x0, jnp.zeros((2,)),
+                        cond_emb=cond_emb)["params"]
+
+    def field(x, t):
+        return model.apply({"params": params}, x, jnp.asarray(t),
+                           cond_emb=cond_emb)
+
+    rng = jax.random.PRNGKey(7)
+    dense = sample_midpoint(field, rng, cond_emb, 6, steps=400,
+                            rand_scale=0.7)
+    adapt = sample_adaptive(field, rng, cond_emb, 6, rand_scale=0.7)
+    np.testing.assert_allclose(np.asarray(adapt), np.asarray(dense),
+                               rtol=1e-2, atol=2e-3)

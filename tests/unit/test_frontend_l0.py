@@ -44,6 +44,20 @@ def test_analytic_l0_matches_standard_path():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_analytic_l0_padded_batch_matches_standard():
+    """Zero-padded tails enter the GroupNorm moments (HF quirk) — the
+    analytic path must reproduce that exactly, not mask them out."""
+    x, params, fe_exact, fe_analytic = _frontends(L=9600, B=2, seed=3)
+    x = np.array(x)  # writable copy
+    x[1, 4000:] = 0.0  # batch item padded with zeros
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    want = np.asarray(fe_exact.apply({"params": params}, x))
+    got = np.asarray(fe_analytic.apply({"params": params}, x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_analytic_l0_param_tree_identical():
     """Both modes must init the exact same param tree (names, shapes) so
     checkpoints are interchangeable."""

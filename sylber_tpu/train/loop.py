@@ -175,9 +175,17 @@ def train(
     # buffer donation halves train-state memory on TPU; the XLA CPU runtime
     # deadlocks in collective thunks when arguments are donated (observed on
     # the simulated multi-device CPU mesh) and the axon-tunneled TPU backend
-    # rejects donated executions (InvalidArgument), so it is opt-out.
-    donate = (0,) if (jax.default_backend() != "cpu"
-                      and os.environ.get("SYLBER_TPU_DONATE", "1") != "0") else ()
+    # rejects donated executions with an opaque InvalidArgument at
+    # result-fetch time — auto-off on both; SYLBER_TPU_DONATE overrides
+    # (=1 forces on, =0 forces off).
+    env = os.environ.get("SYLBER_TPU_DONATE")
+    if env is not None:
+        donatable = env != "0"
+    else:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+        donatable = (jax.default_backend() != "cpu"
+                     and "axon" not in version)
+    donate = (0,) if donatable else ()
     step_fn = jax.jit(make_train_step(dcfg), donate_argnums=donate)
     eval_fn = jax.jit(make_eval_step(dcfg))
 

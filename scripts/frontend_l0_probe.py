@@ -39,7 +39,9 @@ import jax.numpy as jnp
 B = int(os.environ.get("L0_B", 32))
 L = 5 * 16000 + 320
 K, S, D = 10, 5, 512
-ITERS = 8
+ITERS = int(os.environ.get("SYLBER_PROBE_ITERS", 8))
+# NOTE: the per-call tunnel RTT (~27 ms) divided by ITERS is an additive
+# floor on every amortized number; raise ITERS to >=64 for sub-10 ms ops.
 
 
 def group_norm_gelu(y, gamma, beta, eps=1e-5):

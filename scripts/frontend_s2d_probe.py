@@ -36,7 +36,9 @@ CONV_K = (10, 3, 3, 3, 3, 2, 2)
 CONV_S = (5, 2, 2, 2, 2, 2, 2)
 B = int(os.environ.get("S2D_B", 32))
 L = 5 * 16000 + 320
-ITERS = 8
+ITERS = int(os.environ.get("SYLBER_PROBE_ITERS", 8))
+# NOTE: the per-call tunnel RTT (~27 ms) divided by ITERS is an additive
+# floor on every amortized number; raise ITERS to >=64 for sub-10 ms ops.
 DTYPE = jnp.bfloat16
 
 

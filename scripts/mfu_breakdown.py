@@ -30,7 +30,9 @@ if os.environ.get("JAX_PLATFORMS"):
     except RuntimeError:
         pass
 
-ITERS = 8
+ITERS = int(os.environ.get("SYLBER_PROBE_ITERS", 8))
+# NOTE: the per-call tunnel RTT (~27 ms) divided by ITERS is an additive
+# floor on every amortized number; raise ITERS to >=64 for sub-10 ms ops.
 B = int(os.environ.get("SYLBER_MFU_B", 32))
 SECS = 5.0
 ONLY_FULL = os.environ.get("SYLBER_MFU_ONLY_FULL", "0") == "1"

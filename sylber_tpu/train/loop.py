@@ -8,6 +8,7 @@ auto-resume, JSONL metrics, optional jax.profiler traces.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -220,6 +221,16 @@ def train(
                 print(f"step {step_i + 1}: " + " ".join(
                     f"{k}={v:.4g}" for k, v in row.items()
                     if k not in ("time", "prefix")))
+            if (step_i + 1) % 50 == 0:
+                # Per-step host garbage forms reference cycles holding the
+                # multi-MB batch buffers; Python's allocation-count GC
+                # thresholds almost never trigger on few-but-huge objects, so
+                # RSS grows ~(batch bytes)/step until the kernel OOM-kills
+                # the run (observed at 130 GB anon RSS on a 4000-step
+                # stage-1 + stage-2 session). A periodic collect keeps RSS
+                # flat (measured: +5.8 MB/step without, flat with).
+                # ~3 ms per call, amortized over 50 steps.
+                gc.collect()
             if mgr.should_save(step_i + 1):
                 mgr.save(step_i + 1, jax.device_get(state))
 

@@ -94,6 +94,12 @@ def main():
                            return_hidden=False)
         for j, o in zip(idx, outs):
             results[names[j]] = o["segments"]
+        if (i // args.batch_size) % 50 == 49:
+            # long dispatch loops accumulate cyclic host garbage faster than
+            # CPython's allocation-count GC fires (see train/loop.py)
+            import gc
+
+            gc.collect()
     wall = time.perf_counter() - t0
 
     segs_list = list(results.values())

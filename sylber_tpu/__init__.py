@@ -9,18 +9,24 @@ mirrors the reference package (`/root/reference/sylber/__init__.py`):
 
 from .api import Segmenter
 
-__all__ = ["Segmenter", "Sylber", "SegmentSynthesis"]
+__all__ = ["Segmenter", "Sylber", "SegmentSynthesis", "SylberTokenizer",
+           "StreamingSegmenter", "LongFormSegmenter"]
 __version__ = "0.1.0"
+
+_LAZY = {
+    "SegmentSynthesis": ("sylber_tpu.synthesis", "SegmentSynthesis"),
+    "Sylber": ("sylber_tpu.models.sylber", "Sylber"),
+    "SylberTokenizer": ("sylber_tpu.tokenizer", "SylberTokenizer"),
+    "StreamingSegmenter": ("sylber_tpu.streaming", "StreamingSegmenter"),
+    "LongFormSegmenter": ("sylber_tpu.longform", "LongFormSegmenter"),
+}
 
 
 def __getattr__(name):
     # lazy imports keep `import sylber_tpu` light
-    if name == "SegmentSynthesis":
-        from .synthesis import SegmentSynthesis
+    if name in _LAZY:
+        import importlib
 
-        return SegmentSynthesis
-    if name == "Sylber":
-        from .models.sylber import Sylber
-
-        return Sylber
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)

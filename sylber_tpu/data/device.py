@@ -1,0 +1,67 @@
+"""Device-resident dataset: upload the corpus once, assemble batches in-graph.
+
+Motivation (measured, this image): the axon-tunneled TPU client retains the
+host buffer of EVERY host->device transfer for the life of the process
+(scripts probe: +20 MB per 20 MB put, across device_put / jnp.asarray /
+implicit-jit-arg, even when re-putting the same mutated buffer). A training
+loop shipping ~31 MB of batch per step therefore grows ~31 MB/step of host
+RSS and a 4000-step run is OOM-killed at 130 GB. Independent of that bug,
+per-step H2D is also the throughput limiter on the tunnel (float32 transfer
+caps the loop at ~2 steps/s).
+
+For corpora that fit in HBM (the synthetic training-proof corpus: ~370 MB at
+384 x 5 s), the TPU-native answer is to pre-collate the whole dataset with
+the standard :meth:`SpeechDataset.collate` (items are deterministic and
+cached, so this is exactly what the host stream would have produced), upload
+once, and gather each batch on device by an index vector — per-step H2D is
+~4*B bytes of indices. Epoch shuffling stays on the host (same order
+semantics as ``SpeechDataset.batches``); padding is to the corpus max length
+instead of the per-batch max (mask semantics identical; the GroupNorm-over-
+padding quirk sees at most a few extra zero frames on short-utterance
+batches).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+
+
+def precollate(ds, transfer: str = "float32") -> Dict[str, Optional[jnp.ndarray]]:
+    """Collate every item of ``ds`` into one (N, ...) batch and device_put it
+    (replicated; `shard_batch` re-shards gathered batches over dp)."""
+    items = [ds[i] for i in range(len(ds))]
+    full = ds.collate(items, transfer=transfer)
+    return {k: (jax.device_put(v) if v is not None else None)
+            for k, v in full.items()}
+
+
+@jax.jit
+def _gather(data, idx):
+    return jax.tree.map(lambda v: v[idx], data)
+
+
+def device_stream(ds, batch_size: int, mesh, transfer: str = "float32",
+                  shuffle: bool = True, seed: int = 0,
+                  ) -> Iterator[Dict[str, jnp.ndarray]]:
+    """Infinite epoch stream of device-assembled batches (drop-last)."""
+    data = precollate(ds, transfer=transfer)
+    present = {k: v for k, v in data.items() if v is not None}
+    absent = [k for k, v in data.items() if v is None]
+    n = len(ds)
+    rng = np.random.RandomState(seed)
+    while True:
+        order = np.arange(n)
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = jnp.asarray(order[i: i + batch_size])
+            batch = dict(_gather(present, idx))
+            for k in absent:
+                batch[k] = None
+            yield shard_batch(batch, mesh)

@@ -167,11 +167,23 @@ def train(
     train_ds = build_dataset(data_cfg, "train", seed=data_seed)
     # device transfer happens inside the prefetch worker so H2D overlaps
     # the previous step's compute (double buffering); `transfer: int16`
-    # ships raw PCM and normalizes on device (2.6x fewer bytes per step)
+    # ships raw PCM and normalizes on device (2.6x fewer bytes per step).
+    # `device_resident` (default on for the in-memory synthetic corpus)
+    # pre-collates the whole dataset onto the device and gathers batches
+    # in-graph — per-step H2D drops to the index vector, which both removes
+    # the tunnel from the critical path and sidesteps the axon client's
+    # permanent retention of every uploaded host buffer (data/device.py).
     transfer = data_cfg.get("transfer", "float32")
-    stream = prefetch(
-        _epoch_stream(train_ds, batch_size, shuffle=True, transfer=transfer),
-        transform=lambda b: shard_batch(b, mesh))
+    if data_cfg.get("device_resident", bool(data_cfg.get("synthetic"))):
+        from ..data.device import device_stream
+
+        stream = device_stream(train_ds, batch_size, mesh,
+                               shuffle=True, seed=data_seed)
+    else:
+        stream = prefetch(
+            _epoch_stream(train_ds, batch_size, shuffle=True,
+                          transfer=transfer),
+            transform=lambda b: shard_batch(b, mesh))
 
     # buffer donation halves train-state memory on TPU; the XLA CPU runtime
     # deadlocks in collective thunks when arguments are donated (observed on

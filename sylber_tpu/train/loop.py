@@ -174,7 +174,9 @@ def train(
     # the tunnel from the critical path and sidesteps the axon client's
     # permanent retention of every uploaded host buffer (data/device.py).
     transfer = data_cfg.get("transfer", "float32")
-    if data_cfg.get("device_resident", bool(data_cfg.get("synthetic"))):
+    device_resident = data_cfg.get("device_resident",
+                                   bool(data_cfg.get("synthetic")))
+    if device_resident:
         from ..data.device import device_stream
 
         stream = device_stream(train_ds, batch_size, mesh,
@@ -247,15 +249,33 @@ def train(
                 mgr.save(step_i + 1, jax.device_get(state))
 
             if val_every and (step_i + 1) % val_every == 0:
+                val_bs = data_cfg.get("val_batch_size") or batch_size
+                val_bs -= val_bs % dp or 0
+                val_bs = max(val_bs, dp)
                 if val_ds is None:  # built once, reused every interval
                     val_ds = build_dataset(data_cfg, "valid",
                                            seed=cfg.get("seed", 0) + 1)
-                val_bs = data_cfg.get("val_batch_size") or batch_size
-                val_bs -= val_bs % dp or 0
+                    if device_resident:
+                        # ordered device-resident batches, uploaded once
+                        # (repeated host uploads leak on the axon client —
+                        # see data/device.py)
+                        from ..data.device import precollate
+
+                        _vdata = precollate(val_ds, transfer="float32")
+
+                def val_batches():
+                    if device_resident:
+                        n = len(val_ds)
+                        for i0 in range(0, n - val_bs + 1, val_bs):
+                            idx = jnp.arange(i0, i0 + val_bs)
+                            yield {k: (v[idx] if v is not None else None)
+                                   for k, v in _vdata.items()}
+                    else:
+                        yield from val_ds.batches(val_bs, shuffle=False,
+                                                  transfer=transfer)
+
                 losses = []
-                for vb, vbatch in enumerate(
-                        val_ds.batches(max(val_bs, dp), shuffle=False,
-                                       transfer=transfer)):
+                for vb, vbatch in enumerate(val_batches()):
                     if vb >= limit_val_batches:
                         break
                     vm = eval_fn(state, shard_batch(vbatch, mesh),

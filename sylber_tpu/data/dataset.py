@@ -237,11 +237,14 @@ def prefetch(it: Iterator, depth: int = 2, transform=None) -> Iterator:
     dispatch and halved training throughput."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    error: list = []
 
     def worker():
         try:
             for item in it:
                 q.put(transform(item) if transform is not None else item)
+        except BaseException as e:  # propagate to the consumer, not stderr
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -250,6 +253,8 @@ def prefetch(it: Iterator, depth: int = 2, transform=None) -> Iterator:
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             return
         yield item
 

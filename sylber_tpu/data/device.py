@@ -34,7 +34,22 @@ from ..parallel.mesh import shard_batch
 
 def precollate(ds, transfer: str = "float32") -> Dict[str, Optional[jnp.ndarray]]:
     """Collate every item of ``ds`` into one (N, ...) batch and device_put it
-    (replicated; `shard_batch` re-shards gathered batches over dp)."""
+    (replicated; `shard_batch` re-shards gathered batches over dp).
+
+    NOTE: this freezes ONE realization of every item for the whole run. For
+    the deterministic, cached synthetic corpus that is exactly what the host
+    stream yields; for datasets whose ``__getitem__`` redraws crops/noise
+    per epoch (the on-disk SpeechDataset) it silently disables per-epoch
+    augmentation — warn so opting in is a conscious trade."""
+    from .dataset import SyntheticSpeechDataset
+
+    if not isinstance(ds, SyntheticSpeechDataset):
+        import warnings
+
+        warnings.warn(
+            "device-resident precollate freezes one crop/noise realization "
+            "per item for the entire run (per-epoch augmentation disabled); "
+            "intended for deterministic in-memory corpora", stacklevel=2)
     items = [ds[i] for i in range(len(ds))]
     full = ds.collate(items, transfer=transfer)
     return {k: (jax.device_put(v) if v is not None else None)

@@ -240,6 +240,18 @@ def odeint_adaptive(
     k1 = f(y0, t0)
     init = (y0, t0, jnp.float32(h0), k1, jnp.int32(0), jnp.int32(0))
     y, t, h, k1, acc, rej = jax.lax.while_loop(cond, body, init)
+
+    def _warn(t_reached):
+        jax.debug.print(
+            "odeint_adaptive: step budget exhausted at t={t} < {t1} "
+            "(accepted+rejected = max_steps); result is the state at t, "
+            "not t1 — loosen atol/rtol or raise max_steps", t=t_reached,
+            t1=t1)
+        return t_reached
+
+    # surface budget exhaustion instead of silently returning a partial
+    # trajectory (torchdiffeq raises here; under jit we warn + expose stats)
+    t = jax.lax.cond(t < t1, _warn, lambda tt: tt, t)
     return y, (acc, rej)
 
 

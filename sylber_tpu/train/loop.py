@@ -179,7 +179,7 @@ def train(
     if device_resident:
         from ..data.device import device_stream
 
-        stream = device_stream(train_ds, batch_size, mesh,
+        stream = device_stream(train_ds, batch_size, mesh, transfer=transfer,
                                shuffle=True, seed=data_seed)
     else:
         stream = prefetch(

@@ -128,6 +128,11 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int
     escape = (1 << plen) - 1
     porder = br.read(4)
     nparts = 1 << porder
+    if blocksize % nparts != 0:
+        # spec: blocksize must be evenly divisible by the partition count
+        # (the partial-fill would otherwise leave uninitialized residuals)
+        raise FlacError(
+            f"blocksize {blocksize} not divisible by 2^{porder} partitions")
     out = np.empty(blocksize - order, np.int64)
     w = 0
     for part in range(nparts):
@@ -158,6 +163,8 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     wasted = 0
     if br.read(1):
         wasted = 1 + br.unary()
+        if wasted >= bps:
+            raise FlacError(f"wasted bits {wasted} >= sample size {bps}")
         bps -= wasted
 
     if stype == 0:  # CONSTANT
@@ -285,6 +292,8 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
             raise FlacError("invalid sample rate code")
         br.read(8)  # header CRC-8 (not verified)
 
+        if ss_code != 0 and ss_code not in _SAMPLE_SIZE_CODE:
+            raise FlacError(f"reserved sample size code {ss_code}")
         bps = (info["bits_per_sample"] if ss_code == 0
                else _SAMPLE_SIZE_CODE[ss_code])
         if ch_code < 8:

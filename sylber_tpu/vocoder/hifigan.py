@@ -138,8 +138,10 @@ class PeriodDiscriminator(nn.Module):
         B, L = wav.shape
         p = self.period
         pad = (-L) % p
-        x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect" if L > 1
-                    else "constant")
+        # reflect padding requires pad <= L-1; short clips fall back to
+        # zero padding rather than crashing inside the jitted discriminator
+        mode = "reflect" if pad <= L - 1 else "constant"
+        x = jnp.pad(wav, ((0, 0), (0, pad)), mode=mode)
         x = x.reshape(B, -1, p, 1)                     # (B, L/p, p, 1)
         feats = []
         for i, ch in enumerate((32, 128, 512, 1024)):

@@ -72,7 +72,12 @@ def log_mel(wav: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
     idx = (jnp.arange(n_frames)[:, None] * cfg.hop_length
            + jnp.arange(cfg.n_fft)[None, :])
     frames = x[:, idx]                                   # (B, F, n_fft)
-    win = jnp.asarray(np.hanning(cfg.win_length + 1)[:-1].astype(np.float32))
+    # center-pad a win_length window to n_fft (torch.stft/librosa semantics)
+    assert cfg.win_length <= cfg.n_fft, (cfg.win_length, cfg.n_fft)
+    w = np.hanning(cfg.win_length + 1)[:-1].astype(np.float32)
+    lpad = (cfg.n_fft - cfg.win_length) // 2
+    w = np.pad(w, (lpad, cfg.n_fft - cfg.win_length - lpad))
+    win = jnp.asarray(w)
     spec = jnp.abs(jnp.fft.rfft(frames * win, axis=-1))  # magnitude
     fb = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
                                     cfg.fmin, cfg.fmax))

@@ -21,15 +21,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Some TPU plugins (axon) ignore the JAX_PLATFORMS env var; enforce it via
-# jax.config before any backend initialization.
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from sylber_tpu.utils.platform import apply_jax_platform
 
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except RuntimeError:
-        pass
+apply_jax_platform()  # axon ignores $JAX_PLATFORMS; must go through jax.config
 
 REF = "/root/reference"
 

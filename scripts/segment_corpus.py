@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--compare", default=None,
                     help="npz of another run; reports boundary F1 vs it")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the untimed per-bucket compile warm-up pass")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -80,15 +82,34 @@ def main():
     order = np.argsort([-len(w) for w in wavs])
     total_seconds = sum(len(w) for w in wavs) / 16000.0
 
+    # plan batches, then warm each distinct (padded-length, batch-size)
+    # bucket with one untimed call: jit compiles over the axon tunnel cost
+    # 30-250 s each and would otherwise dominate small-corpus wall clock
+    planned = [order[i: i + args.batch_size]
+               for i in range(0, len(order), args.batch_size)]
+    if not args.no_warmup:
+        seen = set()
+        for idx in planned:
+            lb = seg.length_bucket
+            key = (-(-max(len(wavs[j]) for j in idx) // lb) * lb, len(idx))
+            if key not in seen:
+                seen.add(key)
+                seg.process([wavs[j] for j in idx], in_second=True,
+                            return_hidden=False)
+        print(f"warmed {len(seen)} bucket shapes", file=sys.stderr)
+
     results = {}
+    batch_walls = []  # (seconds of audio, wall) per batch
     t0 = time.perf_counter()
-    for i in range(0, len(order), args.batch_size):
-        idx = order[i: i + args.batch_size]
+    for bi, idx in enumerate(planned):
+        tb = time.perf_counter()
         outs = seg.process([wavs[j] for j in idx], in_second=True,
                            return_hidden=False)
+        batch_walls.append((sum(len(wavs[j]) for j in idx) / 16000.0,
+                            time.perf_counter() - tb))
         for j, o in zip(idx, outs):
             results[names[j]] = o["segments"]
-        if (i // args.batch_size) % 50 == 49:
+        if bi % 50 == 49:
             # long dispatch loops accumulate cyclic host garbage faster than
             # CPython's allocation-count GC fires (see train/loop.py)
             import gc
@@ -96,12 +117,21 @@ def main():
             gc.collect()
     wall = time.perf_counter() - t0
 
+    # wall-clock RTFx includes one jit compile per (batch, length) bucket
+    # (30-250 s each over the axon tunnel) — dominant for small corpora,
+    # amortized for real ones. Also report a steady-state estimate that
+    # drops compile-outlier batches (> 5x the median batch wall).
+    med = float(np.median([w for _, w in batch_walls]))
+    steady = [(a, w) for a, w in batch_walls if w <= 5 * med]
     segs_list = list(results.values())
     stats = {
         "utts": len(files),
         "audio_seconds": total_seconds,
         "wall_seconds": wall,
         "rtfx": total_seconds / wall,
+        "rtfx_steady": (sum(a for a, _ in steady)
+                        / max(sum(w for _, w in steady), 1e-9)),
+        "n_compile_outlier_batches": len(batch_walls) - len(steady),
         "token_rate": token_rate(segs_list,
                                  [len(w) / 16000.0 for w in wavs]),
     }

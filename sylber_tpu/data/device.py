@@ -65,18 +65,29 @@ def device_stream(ds, batch_size: int, mesh, transfer: str = "float32",
                   shuffle: bool = True, seed: int = 0,
                   ) -> Iterator[Dict[str, jnp.ndarray]]:
     """Infinite epoch stream of device-assembled batches (drop-last)."""
+    if len(ds) < batch_size:
+        # drop-last + while True would otherwise yield nothing and busy-spin;
+        # validate eagerly (this is a plain function returning a generator,
+        # so the error fires at call time, not at first next())
+        raise ValueError(
+            f"device_stream: dataset has {len(ds)} items < batch_size "
+            f"{batch_size}; the drop-last epoch loop would yield no batches")
     data = precollate(ds, transfer=transfer)
     present = {k: v for k, v in data.items() if v is not None}
     absent = [k for k, v in data.items() if v is None]
     n = len(ds)
     rng = np.random.RandomState(seed)
-    while True:
-        order = np.arange(n)
-        if shuffle:
-            rng.shuffle(order)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = jnp.asarray(order[i: i + batch_size])
-            batch = dict(_gather(present, idx))
-            for k in absent:
-                batch[k] = None
-            yield shard_batch(batch, mesh)
+
+    def gen():
+        while True:
+            order = np.arange(n)
+            if shuffle:
+                rng.shuffle(order)
+            for i in range(0, n - batch_size + 1, batch_size):
+                idx = jnp.asarray(order[i: i + batch_size])
+                batch = dict(_gather(present, idx))
+                for k in absent:
+                    batch[k] = None
+                yield shard_batch(batch, mesh)
+
+    return gen()

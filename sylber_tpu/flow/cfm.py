@@ -194,7 +194,9 @@ def odeint_adaptive(
     ``h *= clip(safety * err^(-1/5), dfactor, ifactor)`` — torchdiffeq's
     controller). Static shapes, bounded by ``max_steps`` loop trips; jittable.
 
-    Returns ``(y1, stats)`` with ``stats = (n_accepted, n_rejected)``.
+    Returns ``(y1, stats)`` with ``stats = (n_accepted, n_rejected,
+    t_reached)``; ``t_reached < t1`` means the step budget ran out and ``y1``
+    is the state at ``t_reached``, not the endpoint.
     """
     cs, a_rows, bs, b_errs = _TABLEAUS[method]
     n_stages = len(cs)
@@ -252,7 +254,7 @@ def odeint_adaptive(
     # surface budget exhaustion instead of silently returning a partial
     # trajectory (torchdiffeq raises here; under jit we warn + expose stats)
     t = jax.lax.cond(t < t1, _warn, lambda tt: tt, t)
-    return y, (acc, rej)
+    return y, (acc, rej, t)
 
 
 def sample_adaptive(
@@ -265,12 +267,22 @@ def sample_adaptive(
     rtol: float = 1e-5,
     method: str = "tsit5",
     max_steps: int = 1024,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Adaptive-step counterpart of :func:`sample_midpoint`: integrate the
     learned vector field from t=0 to 1 with torchode/torchdiffeq-equivalent
-    error control (reference default atol=rtol=1e-5)."""
+    error control (reference default atol=rtol=1e-5).
+
+    With ``return_stats`` returns ``(y1, stats)`` where ``stats`` is a dict of
+    ``accepted``/``rejected`` step counts and a ``complete`` flag — False when
+    the ``max_steps`` budget ran out before t=1 and ``y1`` is the state at the
+    last accepted time, not the endpoint (torchdiffeq raises in that case;
+    under jit we expose it as data)."""
     B, L, _ = cond_emb.shape
     y0 = jax.random.normal(rng, (B, L, dim_out), jnp.float32) * rand_scale
-    y1, _ = odeint_adaptive(apply_fn, y0, atol=atol, rtol=rtol,
-                            method=method, max_steps=max_steps)
+    y1, (acc, rej, t) = odeint_adaptive(apply_fn, y0, atol=atol, rtol=rtol,
+                                        method=method, max_steps=max_steps)
+    if return_stats:
+        stats = {"accepted": acc, "rejected": rej, "complete": t >= 1.0}
+        return y1, stats
     return y1

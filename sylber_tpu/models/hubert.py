@@ -190,8 +190,22 @@ class ConvFeatureEncoder(nn.Module):
         analytic = cfg.frontend_l0_analytic
         if analytic is None:
             analytic = cfg.frontend_dtype != jnp.float32
-        analytic = (analytic and not cfg.conv_bias and k0 <= 2 * s0
+        eligible = (not cfg.conv_bias and k0 <= 2 * s0
                     and x.shape[1] >= k0 + s0)
+        if analytic and not eligible and cfg.frontend_l0_analytic:
+            # forced-on knob demoted: tell the user instead of silently
+            # running the standard path (trace-time, so it fires once per
+            # compiled shape, not per step)
+            import warnings
+
+            warnings.warn(
+                "frontend_l0_analytic=True requested but the analytic "
+                f"layer-0 path requires conv_bias=False, kernel<=2*stride "
+                f"and input length >= {k0 + s0} (got conv_bias="
+                f"{cfg.conv_bias}, k0={k0}, s0={s0}, len={x.shape[1]}); "
+                "falling back to the standard conv+GroupNorm path",
+                stacklevel=2)
+        analytic = analytic and eligible
 
         if analytic:
             # layer 0 via analytic GroupNorm moments: conv output hits HBM

@@ -102,8 +102,12 @@ class Sylber:
             normthreshold = float(get_threshold(self.thresholder))
         if mergethreshold is None:
             lo, hi = self.config.merge_threshold_range
-            mergethreshold = (float(np.random.uniform(lo, hi)) if lo < hi
-                              else float(lo))
+            # drawn from the façade's explicit PRNG stream (seeded at
+            # construction) so replayed runs are reproducible — the global
+            # numpy RNG is never touched by this class
+            mergethreshold = (
+                float(jax.random.uniform(self._next_rng(), minval=lo,
+                                         maxval=hi)) if lo < hi else float(lo))
         res = segment_batch(features, normthreshold, mergethreshold)
         segments = [np.asarray(res.segments[b][: int(res.num_segments[b])])
                     for b in range(features.shape[0])]

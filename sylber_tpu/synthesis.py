@@ -221,6 +221,7 @@ class SegmentSynthesis:
         normthreshold: Optional[float] = None,
         seed: int = 0,
         method: str = "midpoint",
+        cond_scale: float = 1.0,
     ):
         """Returns (art (B, L, 14), segments or None), reference signature
         `segment_synthesis.py:103-146`."""
@@ -260,7 +261,7 @@ class SegmentSynthesis:
                 feats = feats[None]
             cond = self._cond_from_features(feats)
 
-        art = self._sample(cond, steps, rand_scale, seed, method)
+        art = self._sample(cond, steps, rand_scale, seed, method, cond_scale)
         art = np.array(art)  # writable host copy
         art[..., 12] = art[..., 12] / self.config.pitch_amp
         return art, segments_out
@@ -278,22 +279,46 @@ class SegmentSynthesis:
             from .vocoder import SparcDecoder
 
             vocoder = self.vocoder = SparcDecoder()
+        if getattr(vocoder, "random_init", False):
+            import warnings
+
+            warnings.warn(
+                "decode_audio: the vocoder has random-init weights and will "
+                "emit noise, not speech — pass a trained SparcDecoder "
+                "(train with vocoder.hifigan.make_vocoder_train_step or "
+                "convert a torch HiFi-GAN checkpoint)", stacklevel=2)
         return vocoder(art, spk_emb, pitch_mean)
 
-    def _sample(self, cond_emb, steps, rand_scale, seed, method="midpoint"):
+    def _sample(self, cond_emb, steps, rand_scale, seed, method="midpoint",
+                cond_scale: float = 1.0):
         """``method``: fixed-grid "euler"/"midpoint"/"rk4" over ``steps``
         points, or adaptive "tsit5"/"dopri5" (torchode/torchdiffeq-adaptive
         equivalents; ``steps`` is ignored, error control at atol=rtol=1e-5
-        as in the reference, `flowmatching.py:806-824`)."""
-        key = (steps, float(rand_scale), method)
+        as in the reference, `flowmatching.py:806-824`).
+
+        ``cond_scale`` != 1 enables classifier-free guidance: a second
+        vector-field evaluation with the conditioning embedding dropped
+        (zeroed — the blank/null convention of this stack), combined as
+        ``null + (cond - null) * cond_scale`` per
+        `flowmatching.py:566-579,754`. Note the reference's released
+        ``forward`` never reads ``cond_drop_prob``, so its null pass
+        degenerates to the conditioned one; here the null pass actually
+        drops the conditioning (the intended voicebox CFG semantics)."""
+        key = (steps, float(rand_scale), method, float(cond_scale))
         if key not in self._sample_fns:
             reg, params, c = self.regressor, self.params, self.config
             adaptive = method in ("tsit5", "dopri5")
 
             def fn(regressor_params, cond_emb, rng):
                 def field(x, t):
-                    return reg.apply({"params": regressor_params}, x,
-                                     jnp.asarray(t), cond_emb=cond_emb)
+                    out = reg.apply({"params": regressor_params}, x,
+                                    jnp.asarray(t), cond_emb=cond_emb)
+                    if cond_scale == 1.0:
+                        return out
+                    null = reg.apply({"params": regressor_params}, x,
+                                     jnp.asarray(t),
+                                     cond_emb=jnp.zeros_like(cond_emb))
+                    return null + (out - null) * cond_scale
                 if adaptive:
                     return sample_adaptive(field, rng, cond_emb,
                                            c.regressor.dim_out,
@@ -356,15 +381,24 @@ def _fill_from_segment_features(seg_feats, segments, num_segments, L):
 def expand_feature(avg_fts: jnp.ndarray, durations: jnp.ndarray) -> jnp.ndarray:
     """Duration-controlled expansion: interleave each segment feature with a
     zero 'gap' token and repeat by durations (`flowmatching.py:873-881`).
-    durations: (B, n_segs, 2) int (voiced len, gap len); static total length
-    = durations.sum per row must be equal across the batch."""
+    durations: (B, n_segs, 2) int (voiced len, gap len); total length
+    = durations.sum per row must be equal across the batch (it defines the
+    static output shape).
+
+    Device-side: the variable-length repeat is a batched searchsorted over
+    the duration prefix sums (one O(L log N) gather, no per-item host loop).
+    """
     B, N, d = avg_fts.shape
     inter = jnp.stack([avg_fts, jnp.zeros_like(avg_fts)], axis=2)
     inter = inter.reshape(B, 2 * N, d)
-    dur = durations.reshape(B, -1)
-    out = [np.repeat(np.asarray(inter[b]), np.asarray(dur[b]), axis=0)
-           for b in range(B)]
-    return jnp.asarray(np.stack(out))
+    dur = jnp.asarray(durations).reshape(B, -1)
+    # static output length from host-visible metadata (durations are data-
+    # pipeline products, not traced values)
+    L = int(np.asarray(jax.device_get(dur[0])).sum())
+    ends = jnp.cumsum(dur, axis=1)                       # (B, 2N)
+    t = jnp.arange(L)
+    idx = jax.vmap(lambda e: jnp.searchsorted(e, t, side="right"))(ends)
+    return jnp.take_along_axis(inter, idx[..., None], axis=1)
 
 
 class SynthesisTrainState(NamedTuple):

@@ -261,7 +261,10 @@ def train(
                         # see data/device.py)
                         from ..data.device import precollate
 
-                        _vdata = precollate(val_ds, transfer="float32")
+                        # honor the configured transfer dtype (int16 halves
+                        # the val corpus's HBM footprint; eval normalizes
+                        # PCM on device via _pcm_normalize)
+                        _vdata = precollate(val_ds, transfer=transfer)
 
                 def val_batches():
                     if device_resident:

@@ -52,6 +52,9 @@ class SparcDecoder:
         assert gcfg.in_channels == self.config.n_ema + 2
         assert gcfg.cond_channels == self.config.spk_emb_dim
         self.generator = Generator(gcfg)
+        # random-init weights emit noise, not speech — callers (decode_audio)
+        # warn when this flag is still set
+        self.random_init = params is None
         if params is None:
             feats = jnp.zeros((1, 8, gcfg.in_channels))
             cond = jnp.zeros((1, gcfg.cond_channels))

@@ -340,3 +340,42 @@ def test_expand_feature():
     assert (out[0, 2] == 0).all()                            # gap token
     np.testing.assert_array_equal(out[0, 3], np.asarray(fts)[0, 1])
     assert (out[0, -2:] == 0).all()
+
+
+def test_cfg_cond_scale_semantics():
+    """Classifier-free guidance (`flowmatching.py:566-579,754`):
+    cond_scale=1 is a single conditioned pass; cond_scale != 1 adds a
+    null-conditioning pass combined as null + (cond - null) * scale."""
+    from sylber_tpu.synthesis import SegmentSynthesis, SynthesisConfig
+
+    cfg = SynthesisConfig(regressor=TINY_REG, input_output_dim=16,
+                          input_hidden_dims=(32,))
+    synth = SegmentSynthesis(config=cfg)
+    rng = np.random.RandomState(7)
+    feats = rng.randn(2, 6, 768).astype(np.float32)
+
+    # with rand_scale=0 and one euler interval (steps=2, ts=[0,1], h=1):
+    # y1 = field(0, t=0) exactly
+    cond = synth._cond_from_features(jnp.asarray(feats))
+    x0 = jnp.zeros((2, 6, 14), jnp.float32)
+    t0 = jnp.zeros(())
+    out_c = synth.regressor.apply({"params": synth.params.regressor}, x0, t0,
+                                  cond_emb=cond)
+    out_n = synth.regressor.apply({"params": synth.params.regressor}, x0, t0,
+                                  cond_emb=jnp.zeros_like(cond))
+
+    for scale in (1.0, 2.5):
+        expect = np.array(out_n + (out_c - out_n) * scale)
+        expect[..., 12] /= cfg.pitch_amp
+        got, _ = synth.resynthesize(features=feats, steps=2, method="euler",
+                                    rand_scale=0.0, cond_scale=scale)
+        # jit-vs-eager fusion differences at default matmul precision
+        np.testing.assert_allclose(got, expect, rtol=5e-3, atol=2e-3)
+
+    # guidance must actually move the output (the null pass is a real
+    # conditioning drop, unlike the reference's unread cond_drop_prob)
+    base, _ = synth.resynthesize(features=feats, steps=2, method="euler",
+                                 rand_scale=0.0, cond_scale=1.0)
+    guided, _ = synth.resynthesize(features=feats, steps=2, method="euler",
+                                   rand_scale=0.0, cond_scale=2.5)
+    assert np.abs(guided - base).max() > 0.1

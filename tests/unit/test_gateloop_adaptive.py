@@ -69,7 +69,7 @@ def test_gateloop_module_and_transformer_wiring():
 def test_adaptive_linear_ode_exact(method):
     """dy/dt = -2y from y0: y(1) = y0 * exp(-2), to solver tolerance."""
     y0 = jnp.asarray(np.random.RandomState(4).randn(3, 5).astype(np.float32))
-    y1, (acc, rej) = odeint_adaptive(lambda y, t: -2.0 * y, y0,
+    y1, (acc, rej, _t) = odeint_adaptive(lambda y, t: -2.0 * y, y0,
                                      atol=1e-6, rtol=1e-6, method=method)
     np.testing.assert_allclose(np.asarray(y1),
                                np.asarray(y0) * np.exp(-2.0),
@@ -102,7 +102,7 @@ def test_adaptive_nonlinear_matches_fine_rk4(method):
         k4 = fnp(y + h * k3, t1)
         y = y + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
-    y1, (acc, rej) = odeint_adaptive(f, y0, atol=1e-5, rtol=1e-5,
+    y1, (acc, rej, _t) = odeint_adaptive(f, y0, atol=1e-5, rtol=1e-5,
                                      method=method)
     np.testing.assert_allclose(np.asarray(y1), y, rtol=1e-3, atol=1e-5)
     assert int(acc) + int(rej) < 200  # adaptivity: way under the dense grid
@@ -116,7 +116,7 @@ def test_adaptive_rejects_on_tight_tol():
         return jnp.cos(40.0 * t) * (1.0 + y * y) * 0.1
 
     y0 = jnp.ones((4,), jnp.float32)
-    y1, (acc, rej) = odeint_adaptive(f, y0, atol=1e-8, rtol=1e-8, h0=1.0)
+    y1, (acc, rej, _t) = odeint_adaptive(f, y0, atol=1e-8, rtol=1e-8, h0=1.0)
     assert int(rej) > 0
     assert np.isfinite(np.asarray(y1)).all()
 

@@ -58,10 +58,33 @@ def test_odeint_adaptive_budget_exhaustion_is_bounded():
         return jnp.cos(200.0 * t) * (1.0 + y * y)
 
     y0 = jnp.ones((3,), jnp.float32)
-    y1, (acc, rej) = odeint_adaptive(stiff, y0, atol=1e-9, rtol=1e-9,
+    y1, (acc, rej, _t) = odeint_adaptive(stiff, y0, atol=1e-9, rtol=1e-9,
                                      max_steps=8, h0=1.0)
     assert int(acc) + int(rej) <= 8
     assert np.isfinite(np.asarray(y1)).all()
+    # exhaustion is now detectable from the stats, not just the debug print
+    assert float(_t) < 1.0
+
+
+def test_sample_adaptive_exposes_completion_stats():
+    from sylber_tpu.flow.cfm import sample_adaptive
+
+    def field(x, t):
+        return -x  # benign field, completes easily
+
+    cond = jnp.zeros((1, 4, 3), jnp.float32)
+    y, stats = sample_adaptive(field, jax.random.PRNGKey(0), cond, 3,
+                               rand_scale=1.0, return_stats=True)
+    assert bool(stats["complete"])
+    assert int(stats["accepted"]) > 0
+
+    def stiff(x, t):
+        return jnp.cos(300.0 * t) * (1.0 + x * x)
+
+    y, stats = sample_adaptive(stiff, jax.random.PRNGKey(0), cond, 3,
+                               rand_scale=1.0, atol=1e-9, rtol=1e-9,
+                               max_steps=4, return_stats=True)
+    assert not bool(stats["complete"])
 
 
 def test_flac_rejects_malformed_partition_order():

@@ -86,10 +86,11 @@ def main():
             mask[j, :n] = 1
         batches.append((jnp.asarray(wav), jnp.asarray(mask), lens.sum()))
 
-    def make_run(s):
+    def make_run(s, norm_thr=2.6, merge_thr=0.8):
         def run(wav, mask):
             hidden, res = s._forward_segment(
-                s.params, wav, mask, jnp.float32(2.6), jnp.float32(0.8))
+                s.params, wav, mask, jnp.float32(norm_thr),
+                jnp.float32(merge_thr))
             return res.segments, res.num_segments, res.features
         return run
 
@@ -135,25 +136,76 @@ def main():
     extra = {"primary_rtfx": round(rtfx, 1),
              "primary_mode": f"{precision}/{dtype}/frontend-{fdt}"}
 
-    # single-bucket subset (one compile per mode) for the exact-mode passes
-    sub = [b for b in batches if b[0].shape[1] == 8 * 16000][:6] or batches[:4]
+    # per-bucket RTFx of the primary mode (serving visibility): executables
+    # are already compiled, so each group pass costs one drain RTT
+    by_shape = {}
+    for b in batches:
+        by_shape.setdefault(b[0].shape[1], []).append(b)
+    run_primary = make_run(seg)
+    rtfx_bucket = {}
+    for L in sorted(by_shape):
+        grp = by_shape[L]
+        t0 = time.perf_counter()
+        results = [run_primary(w, m)[1] for w, m, _ in grp]
+        for r in results:
+            _ = np.asarray(r)
+        rtfx_bucket[f"{L // 16000}s"] = round(
+            sum(s for _, _, s in grp) / (time.perf_counter() - t0), 1)
+    extra["rtfx_by_bucket"] = rtfx_bucket
+
+    # fast-vs-exact gate model: a trained full-width (768-d) checkpoint when
+    # available (runs/full_proof, built by scripts/train_full_proof.py on the
+    # synthetic corpus — realistic thresholded-cosine margins), else the
+    # random-init bench weights. Gate covers EVERY length bucket of the mix
+    # (1 batch per bucket bounds the fp32 compile count).
+    gate_ckpt = os.environ.get("SYLBER_BENCH_GATE_CKPT",
+                               "runs/full_proof/full_ckpt.npz")
+    norm_thr, merge_thr = 2.6, 0.8
+    gate_params = seg.params
+    if os.path.exists(gate_ckpt):
+        from sylber_tpu.io.checkpoint import load_params_npz
+
+        gate_params = load_params_npz(gate_ckpt)
+        meta_path = gate_ckpt.replace(".npz", ".json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                gmeta = json.load(f)
+            norm_thr = float(gmeta.get("norm_threshold", norm_thr))
+            merge_thr = float(gmeta.get("merge_threshold", merge_thr))
+        extra["gate_model"] = f"trained-768d ({gate_ckpt})"
+        seg_gate_fast = Segmenter(hubert_config=HubertConfig(
+            dtype=dtype, precision=precision, frontend_dtype=fdt),
+            length_bucket_s=4.0, params=gate_params)
+    else:
+        extra["gate_model"] = "random-init-768d"
+        seg_gate_fast = seg
+    extra["gate_thresholds"] = [norm_thr, merge_thr]
+
+    sub = [by_shape[L][0] for L in sorted(by_shape)]
     seg32 = Segmenter(hubert_config=HubertConfig(
         dtype=jnp.float32, precision="highest",
         frontend_dtype=jnp.float32), length_bucket_s=4.0,
-        params=seg.params)
+        params=gate_params)
     extra["rtfx_fp32_parity"] = round(measure(seg32, sub, "fp32/highest"), 1)
 
-    # fast-vs-exact decision agreement on identical audio
-    run_f, run_e = make_run(seg), make_run(seg32)
+    # fast-vs-exact decision agreement on identical audio, per bucket
+    run_f = make_run(seg_gate_fast, norm_thr, merge_thr)
+    run_e = make_run(seg32, norm_thr, merge_thr)
     f1s, deltas = [], []
+    f1_bucket = {}
     for wav, mask, _ in sub:
         sf, nf, _ = (np.asarray(x) for x in run_f(wav, mask))
         se, ne, _ = (np.asarray(x) for x in run_e(wav, mask))
+        bucket_f1 = []
         for j in range(wav.shape[0]):
-            f1s.append(boundary_f1(sf[j, : nf[j]], se[j, : ne[j]],
-                                   tol_frames=0))
+            bucket_f1.append(boundary_f1(sf[j, : nf[j]], se[j, : ne[j]],
+                                         tol_frames=0))
             deltas.append(abs(int(nf[j]) - int(ne[j])))
+        f1s.extend(bucket_f1)
+        f1_bucket[f"{wav.shape[1] // 16000}s"] = round(
+            float(np.mean(bucket_f1)), 5)
     extra["fast_vs_exact_boundary_f1"] = round(float(np.mean(f1s)), 5)
+    extra["fast_vs_exact_boundary_f1_by_bucket"] = f1_bucket
     extra["fast_vs_exact_nseg_delta"] = round(float(np.mean(deltas)), 4)
 
     # long-form: one 10-minute recording, fast path (no hidden track)

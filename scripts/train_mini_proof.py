@@ -44,11 +44,12 @@ MINI_HUBERT = {
 }
 
 
-def _model_cfg(stage2: bool, thr: dict | None, lr: float, steps: int):
+def _model_cfg(stage2: bool, thr: dict | None, lr: float, steps: int,
+               hub_dict: dict | None = None):
     m = {
         "encoding_layer": 9,
         "ema_decay": 1.0,
-        "hubert": dict(MINI_HUBERT),
+        "hubert": dict(MINI_HUBERT if hub_dict is None else hub_dict),
         "precision": "default",
         "lr": lr,
         "warmup_steps": 100,
@@ -168,7 +169,14 @@ def main():
     ap.add_argument("--n-utts", type=int, default=256)
     ap.add_argument("--fixture-dir", default=None,
                     help="write mini_ckpt fixture here (e.g. tests/fixtures)")
+    ap.add_argument("--full", action="store_true",
+                    help="full-width 768-d HuBERT-base (default hubert "
+                         "config) instead of the 144-d mini; fixture name "
+                         "becomes full_ckpt (used by bench.py's fast-vs-"
+                         "exact gate)")
     args = ap.parse_args()
+    hub_dict = {} if args.full else MINI_HUBERT
+    fixture_name = "full_ckpt" if args.full else "mini_ckpt"
 
     import jax
     import jax.numpy as jnp
@@ -183,7 +191,8 @@ def main():
     # ---- stage 1: distill onto ground-truth segments ----
     cfg1 = {
         "name": "mini_stage1", "seed": 0,
-        "model": _model_cfg(False, None, lr=5e-4, steps=args.stage1_steps),
+        "model": _model_cfg(False, None, lr=5e-4 if not args.full else 2e-4,
+                            steps=args.stage1_steps, hub_dict=hub_dict),
         "data": _data_cfg(args.n_utts, False, args.batch_size),
         "max_steps": args.stage1_steps,
     }
@@ -194,7 +203,7 @@ def main():
 
     hub = HubertConfig(num_hidden_layers=9, precision="default",
                        **{k: tuple(v) if isinstance(v, list) else v
-                          for k, v in MINI_HUBERT.items()})
+                          for k, v in hub_dict.items()})
 
     # ---- thresholder init from measured stage-1 norm stats ----
     thr_stats = measure_norm_stats(params1, hub)
@@ -203,8 +212,9 @@ def main():
     # ---- stage 2: online segmentation ----
     cfg2 = {
         "name": "mini_stage2", "seed": 1,
-        "model": _model_cfg(True, thr_stats, lr=2e-4,
-                            steps=args.stage2_steps),
+        "model": _model_cfg(True, thr_stats, lr=2e-4 if not args.full
+                            else 1e-4, steps=args.stage2_steps,
+                            hub_dict=hub_dict),
         "data": _data_cfg(args.n_utts, True, args.batch_size),
         "max_steps": args.stage2_steps,
     }
@@ -226,8 +236,9 @@ def main():
 
         fd = Path(args.fixture_dir)
         fd.mkdir(parents=True, exist_ok=True)
-        save_params_npz(str(fd / "mini_ckpt.npz"), params2, dtype=np.float16)
-        meta = {"hubert": MINI_HUBERT, "encoding_layer": 9,
+        save_params_npz(str(fd / f"{fixture_name}.npz"), params2,
+                        dtype=np.float16)
+        meta = {"hubert": hub_dict, "encoding_layer": 9,
                 "norm_threshold": learned_thr, "merge_threshold": 0.8,
                 "thresholder_stats": thr_stats,
                 "train": {"stage1_steps": args.stage1_steps,
@@ -235,9 +246,10 @@ def main():
                           "batch_size": args.batch_size,
                           "n_utts": args.n_utts},
                 "eval": results}
-        (fd / "mini_ckpt.json").write_text(json.dumps(meta, indent=2))
-        print(f"fixture written to {fd}/mini_ckpt.npz "
-              f"({os.path.getsize(fd / 'mini_ckpt.npz') / 1e6:.1f} MB)")
+        (fd / f"{fixture_name}.json").write_text(json.dumps(meta, indent=2))
+        print(f"fixture written to {fd}/{fixture_name}.npz "
+              f"({os.path.getsize(fd / (fixture_name + '.npz')) / 1e6:.1f}"
+              f" MB)")
 
 
 if __name__ == "__main__":

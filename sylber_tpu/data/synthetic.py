@@ -34,9 +34,25 @@ FORMANT_BANK = np.stack([
     _BANK_RNG.uniform(900, 2800, 40),    # F2
 ], axis=1)
 
+# Analytic articulatory ground truth for the resynthesis stack. The real
+# corpus pairs speech with 12 EMA articulator dims + log-pitch + loudness
+# (SPARC features, `/root/reference/sylber/model/segment_synthesis.py:143-146`,
+# 14 channels at 50 Hz). The synthetic stand-in derives the 12 "articulator"
+# dims from the phoneme identity: each formant-bank entry maps to a fixed
+# bounded target vector (distinct per phoneme, like articulator positions),
+# traversed under the syllable's amplitude envelope — smooth move-to-target-
+# and-back trajectories, zero in silence.
+_ART_RNG = np.random.RandomState(20241002)
+ART_BANK = np.tanh(_ART_RNG.randn(len(FORMANT_BANK), 12) * 0.7) \
+    .astype(np.float32)
+# corpus-level reference F0: art channel 12 is log(f0 / PITCH_MEAN), matching
+# the demo's exp(pitch) * pitch_mean decode convention (demo.ipynb cell 11)
+PITCH_MEAN = 120.0
+
 
 def _syllable(rng: np.random.RandomState, n: int, f0: float,
-              formants: np.ndarray) -> np.ndarray:
+              formants: np.ndarray):
+    """Returns (waveform, per-sample f0 track, per-sample envelope)."""
     t = np.arange(n) / SR
     # mild pitch declination + jitter
     f0_t = f0 * (1.0 - 0.08 * t / max(t[-1], 1e-6)) \
@@ -54,7 +70,8 @@ def _syllable(rng: np.random.RandomState, n: int, f0: float,
     # raised-cosine-ish envelope with faster attack than decay
     tau = np.linspace(0, 1, n)
     env = np.sin(np.pi * tau ** 0.8) ** 0.7
-    return (x * env).astype(np.float32)
+    return ((x * env).astype(np.float32), f0_t.astype(np.float32),
+            env.astype(np.float32))
 
 
 def synth_utterance(
@@ -63,16 +80,26 @@ def synth_utterance(
     f0_range: Tuple[float, float] = (100.0, 240.0),
     noise_level: float = 0.003,
     return_ids: bool = False,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_art: bool = False,
+) -> Tuple[np.ndarray, ...]:
     """Generate ``n_samples`` of audio.
 
     Returns ``(wav float32 (n_samples,), segments int64 (K, 2))`` where
     segments are ground-truth ``[start, end)`` voiced spans in 50 Hz frames.
     With ``return_ids`` also returns the per-segment phoneme-bank index
     (K,) — the discrete "syllable identity" drawn from :data:`FORMANT_BANK`,
-    used by token-purity evaluations.
+    used by token-purity evaluations. With ``return_art`` also returns the
+    analytic 50 Hz articulatory ground truth ``(n_samples // FRAME, 14)``:
+    channels 0-11 = envelope-weighted :data:`ART_BANK` target of the active
+    phoneme, 12 = log(f0 / PITCH_MEAN) (0 when unvoiced), 13 = frame RMS
+    loudness — the synthetic stand-in for SPARC features
+    (`segment_synthesis.py:143-146`). Both flags consume no extra RNG draws,
+    so cached datasets and fixtures remain bit-identical either way.
     """
     wav = np.zeros(n_samples, np.float32)
+    f0_track = np.zeros(n_samples, np.float32)
+    env_track = np.zeros(n_samples, np.float32)
+    id_track = np.zeros(n_samples, np.int64)
     segments = []
     ids = []
     f0_base = rng.uniform(*f0_range)
@@ -91,7 +118,11 @@ def synth_utterance(
         ids.append(phoneme_id)
         f0 = f0_base * rng.uniform(0.85, 1.2)
         amp = rng.uniform(0.5, 1.0)
-        wav[pos: pos + dur] = amp * _syllable(rng, dur, f0, phoneme)
+        syl, f0_t, env = _syllable(rng, dur, f0, phoneme)
+        wav[pos: pos + dur] = amp * syl
+        f0_track[pos: pos + dur] = f0_t
+        env_track[pos: pos + dur] = env
+        id_track[pos: pos + dur] = phoneme_id
         s = pos // FRAME
         segments.append([s, s + dur_frames])
         pos += dur
@@ -104,9 +135,22 @@ def synth_utterance(
     wav += noise_level * rng.randn(n_samples).astype(np.float32)
     segs = (np.array(segments, np.int64) if segments
             else np.zeros((0, 2), np.int64))
+    out = [wav, segs]
     if return_ids:
-        return wav, segs, np.asarray(ids, np.int64)
-    return wav, segs
+        out.append(np.asarray(ids, np.int64))
+    if return_art:
+        n_frames = n_samples // FRAME
+        centers = np.arange(n_frames) * FRAME + FRAME // 2
+        art = np.zeros((n_frames, 14), np.float32)
+        # envelope is nonzero only inside voiced spans, so silent frames
+        # stay at the blank value (0) in every channel
+        art[:, :12] = env_track[centers, None] * ART_BANK[id_track[centers]]
+        voiced = f0_track[centers] > 0
+        art[voiced, 12] = np.log(f0_track[centers][voiced] / PITCH_MEAN)
+        art[:, 13] = np.sqrt(
+            (wav[: n_frames * FRAME].reshape(n_frames, FRAME) ** 2).mean(-1))
+        out.append(art)
+    return tuple(out)
 
 
 def boundary_set(segments: np.ndarray) -> np.ndarray:

@@ -79,6 +79,10 @@ class HubertConfig:
     # trades ~33% more FLOPs for O(depth) less activation memory — needed
     # for the reference's batch-100 training recipe on a single chip.
     remat: bool = False
+    # fuse the q/k/v projections into one (d, 3d) matmul per encoder layer
+    # (param tree unchanged: separate q/k/v leaves concatenated at apply
+    # time). Off by default pending a measured win; see ops/attention.py.
+    fused_qkv: bool = False
     # analytic-GroupNorm fast path for frontend layer 0 (the most expensive
     # op in the network: its output is the largest tensor, 16 kHz/5, and the
     # op is VPU-bound on the GELU — measured 10.6 ms of a 32 ms forward at
@@ -324,6 +328,7 @@ class EncoderLayer(nn.Module):
             bias=attn_bias,
             dropout_rate=cfg.attention_dropout,
             deterministic=deterministic,
+            fused_qkv=cfg.fused_qkv,
             name="attention",
         )
         attn_out = nn.Dropout(cfg.hidden_dropout)(

@@ -105,13 +105,37 @@ def dot_product_attention(
                       precision=precision).astype(q.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Bare kernel+bias with nn.Dense's param names/inits, for fused paths
+    that consume the weights directly. Checkpoint- and TP-rule-compatible
+    with nn.Dense (`<name>/kernel`, lecun_normal; `<name>/bias`, zeros)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_features, self.features), jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32))
+
+
 class MultiHeadSelfAttention(nn.Module):
-    """Self-attention block matching HF `HubertAttention` parameterisation."""
+    """Self-attention block matching HF `HubertAttention` parameterisation.
+
+    ``fused_qkv`` computes q/k/v with ONE (d, 3d) matmul instead of three
+    (d, d) passes: the param tree keeps the separate q_proj/k_proj/v_proj
+    leaves (checkpoint + TP-rule compatibility) and concatenates them at
+    apply time — the copy is a few MB/layer, amortized by the single larger
+    MXU pass and two fewer kernel launches.
+    """
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.0
     precision: str = "highest"
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -128,11 +152,22 @@ class MultiHeadSelfAttention(nn.Module):
             b, l, _ = t.shape
             return t.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        dense = lambda name: nn.Dense(
-            d_model, dtype=self.dtype, precision=self.precision, name=name)
-        q = split(dense("q_proj")(x))
-        k = split(dense("k_proj")(x))
-        v = split(dense("v_proj")(x))
+        if self.fused_qkv:
+            wq, bq = _DenseParams(d_model, d_model, name="q_proj")()
+            wk, bk = _DenseParams(d_model, d_model, name="k_proj")()
+            wv, bv = _DenseParams(d_model, d_model, name="v_proj")()
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            b3 = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = jnp.dot(x.astype(self.dtype), w,
+                          precision=self.precision) + b3
+            q, k, v = (split(t) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            dense = lambda name: nn.Dense(
+                d_model, dtype=self.dtype, precision=self.precision,
+                name=name)
+            q = split(dense("q_proj")(x))
+            k = split(dense("k_proj")(x))
+            v = split(dense("v_proj")(x))
 
         drop_rng = None
         if self.dropout_rate > 0.0 and not deterministic:
@@ -157,10 +192,11 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     precision: str = "highest",
+    fused_qkv: bool = False,
     name: str = "attention",
 ) -> jnp.ndarray:
     """Inline-module helper for use inside @nn.compact bodies."""
     return MultiHeadSelfAttention(
         num_heads=num_heads, dtype=dtype, dropout_rate=dropout_rate,
-        precision=precision, name=name
+        precision=precision, fused_qkv=fused_qkv, name=name
     )(x, bias=bias, deterministic=deterministic)

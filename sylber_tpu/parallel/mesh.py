@@ -33,6 +33,54 @@ TP_RULES = (
 )
 
 
+def maybe_distributed_init(dist_cfg: Optional[dict] = None) -> bool:
+    """Multi-host initialization (SURVEY.md §2.6: "jax.distributed init over
+    ICI/DCN", replacing the reference's Lightning DDP spawn,
+    `/root/reference/train.py:91-102`).
+
+    Enabled by a ``distributed:`` config block or env ``SYLBER_TPU_DIST=1``.
+    On TPU pods launched with the standard runtime env, a bare
+    ``jax.distributed.initialize()`` auto-discovers the coordinator and
+    process topology; explicit values (single-host multi-process CPU/GPU
+    rigs) come from config keys / env vars ``coordinator_address``
+    (``SYLBER_TPU_COORDINATOR``), ``num_processes``
+    (``SYLBER_TPU_NUM_PROCESSES``), ``process_id``
+    (``SYLBER_TPU_PROCESS_ID``). After this, ``jax.devices()`` spans every
+    host, so the same ``make_mesh`` call lays dp/mp over ICI within a slice
+    and DCN across slices (axis order: dp outermost = DCN-friendly, mp
+    innermost = ICI).
+
+    Returns True if jax.distributed was initialized by this call.
+    """
+    import os
+
+    cfg = dict(dist_cfg or {})
+    # a present distributed: block enables it unless it says enabled: false
+    enabled = (bool(cfg.get("enabled", True)) if dist_cfg is not None
+               else False)
+    enabled = enabled or os.environ.get("SYLBER_TPU_DIST") == "1" \
+        or "SYLBER_TPU_COORDINATOR" in os.environ
+    if not enabled:
+        return False
+    kwargs = {}
+    addr = cfg.get("coordinator_address") \
+        or os.environ.get("SYLBER_TPU_COORDINATOR")
+    if addr:
+        kwargs["coordinator_address"] = addr
+    for key, env in (("num_processes", "SYLBER_TPU_NUM_PROCESSES"),
+                     ("process_id", "SYLBER_TPU_PROCESS_ID")):
+        val = cfg.get(key, os.environ.get(env))
+        if val is not None:
+            kwargs[key] = int(val)
+    try:
+        jax.distributed.initialize(**kwargs)
+        return True
+    except RuntimeError as e:
+        if "already" in str(e).lower():  # double-init is a no-op
+            return False
+        raise
+
+
 def make_mesh(
     dp: Optional[int] = None, mp: int = 1, devices=None
 ) -> Mesh:

@@ -22,7 +22,8 @@ from ..data.dataset import SpeechDataset, SyntheticSpeechDataset, load_manifest,
 from ..data.noise import NoiseMixerConfig
 from ..io.checkpoint import TrainCheckpointManager
 from ..models.hubert import HubertConfig
-from ..parallel.mesh import make_mesh, replicated, shard_batch, shard_params
+from ..parallel.mesh import (make_mesh, maybe_distributed_init, replicated,
+                             shard_batch, shard_params)
 from .distill import DistillConfig, TrainState, init_train_state, make_eval_step, make_train_step
 
 
@@ -125,7 +126,18 @@ def train(
     batch_size = data_cfg.get("batch_size", 8)
     max_steps = max_steps or cfg.get("max_steps", dcfg.total_steps)
 
-    mesh = make_mesh(mp=1)
+    # mesh: {dp: -1|N, mp: M} yaml knob; dp -1/absent fills the remaining
+    # devices. mp > 1 turns on Megatron-style tensor parallelism over the
+    # encoder (parallel/mesh.py TP_RULES). An optional distributed: block
+    # (or SYLBER_TPU_DIST=1 / SYLBER_TPU_COORDINATOR env) initializes
+    # jax.distributed first so the mesh spans hosts (ICI within a slice,
+    # DCN across).
+    maybe_distributed_init(cfg.get("distributed"))
+    mesh_cfg = dict(cfg.get("mesh", {}))
+    mp = int(mesh_cfg.get("mp", 1))
+    dp_req = mesh_cfg.get("dp", -1)
+    mesh = make_mesh(dp=None if dp_req in (-1, None) else int(dp_req), mp=mp)
+    use_tp = mp > 1
     dp = mesh.shape["dp"]
     assert batch_size % dp == 0, (batch_size, dp)
 
@@ -144,8 +156,8 @@ def train(
     state = init_train_state(dcfg, rng, params=init_params,
                              thresholder_kwargs=thr_kwargs)
     state = state._replace(
-        params=shard_params(state.params, mesh, use_tp=False),
-        ema_params=shard_params(state.ema_params, mesh, use_tp=False),
+        params=shard_params(state.params, mesh, use_tp=use_tp),
+        ema_params=shard_params(state.ema_params, mesh, use_tp=use_tp),
         opt_state=jax.tree.map(lambda x: replicated(x, mesh), state.opt_state),
         step=replicated(state.step, mesh),
         thresholder=jax.tree.map(lambda x: replicated(x, mesh),

@@ -110,3 +110,46 @@ def test_segmenter_dp_inference_matches_single():
         assert a["segments"].tolist() == b["segments"].tolist()
         np.testing.assert_allclose(a["hidden_states"], b["hidden_states"],
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_train_loop_dp_tp_mesh_config(tmp_path):
+    """The yaml `mesh:` knob drives train() onto a dp x mp mesh with TP
+    actually applied to the loop's params (round-2 gap: TP was implemented
+    but unreachable from the training CLI)."""
+    from sylber_tpu.train.loop import train
+
+    cfg = {
+        "name": "loop_dp_tp", "seed": 0,
+        "mesh": {"dp": 4, "mp": 2},
+        "model": {
+            "encoding_layer": 2,
+            "hubert": {"hidden_size": 64, "num_attention_heads": 4,
+                       "intermediate_size": 128, "conv_dim": [16] * 7,
+                       "num_conv_pos_embeddings": 16,
+                       "num_conv_pos_embedding_groups": 4},
+            "precision": "default",
+            "segment_online": True, "merge_threshold_range": [0.8, 0.9],
+            "use_train_thrupdate": True, "lr": 1e-3, "warmup_steps": 0,
+            "thresholder_configs": {"signal_mean": 6.1, "signal_var": 0.87,
+                                    "noise_mean": 0.34, "noise_var": 0.34},
+        },
+        "data": {"synthetic": True, "n_utts": 8, "max_len": 8000,
+                 "batch_size": 8, "segment_online_data": True},
+        "max_steps": 3,
+    }
+    state = train(cfg, out_dir=str(tmp_path), max_steps=3, log_every=1,
+                  ckpt_every=10_000)
+    assert int(jax.device_get(state.step)) == 3
+    k = state.params["layer_0"]["intermediate_dense"]["kernel"]
+    assert not k.sharding.is_fully_replicated, "TP sharding lost in loop"
+    assert np.isfinite(
+        float(jnp.linalg.norm(jax.device_get(k).astype(jnp.float32))))
+
+
+def test_maybe_distributed_init_disabled_by_default(monkeypatch):
+    from sylber_tpu.parallel.mesh import maybe_distributed_init
+
+    monkeypatch.delenv("SYLBER_TPU_DIST", raising=False)
+    monkeypatch.delenv("SYLBER_TPU_COORDINATOR", raising=False)
+    assert maybe_distributed_init(None) is False
+    assert maybe_distributed_init({"enabled": False}) is False

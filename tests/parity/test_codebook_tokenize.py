@@ -137,8 +137,8 @@ def test_identical_syllables_get_identical_tokens(tokenizer_setup):
     tok = tokenizer_setup["tok"]
     rng = np.random.RandomState(99)
     dur = 10 * FRAME  # 200 ms
-    syl_a = _syllable(rng, dur, 150.0, FORMANT_BANK[3])
-    syl_b = _syllable(rng, dur, 150.0, FORMANT_BANK[17])
+    syl_a, _, _ = _syllable(rng, dur, 150.0, FORMANT_BANK[3])
+    syl_b, _, _ = _syllable(rng, dur, 150.0, FORMANT_BANK[17])
     gap = np.zeros(8 * FRAME, np.float32)
     order = ["a", "b", "a", "a", "b", "a", "b", "b", "a"]
     wav = np.concatenate(

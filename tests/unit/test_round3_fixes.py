@@ -132,3 +132,32 @@ def test_expand_feature_batched_rows_differ():
     for b in range(2):
         np.testing.assert_array_equal(out[b], ref_row(np.asarray(fts)[b],
                                                       durs[b]))
+
+
+def test_fused_qkv_param_tree_and_output_parity():
+    """fused_qkv=True keeps the exact q/k/v param tree and matches the
+    unfused path at fp32/highest precision."""
+    import dataclasses
+
+    from sylber_tpu.models.hubert import HubertConfig, HubertModel
+
+    base = HubertConfig(num_hidden_layers=2, hidden_size=64,
+                        num_attention_heads=4, intermediate_size=128,
+                        conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                        num_conv_pos_embedding_groups=4,
+                        precision="highest")
+    fused = dataclasses.replace(base, fused_qkv=True)
+    m0, m1 = HubertModel(base), HubertModel(fused)
+    p0 = m0.init_params(jax.random.PRNGKey(0), example_len=4000)
+    p1 = m1.init_params(jax.random.PRNGKey(0), example_len=4000)
+    # identical tree structure AND identical initial values (same rng path)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    wav = jnp.asarray(np.random.RandomState(0).randn(2, 4000), jnp.float32)
+    mask = jnp.ones((2, 4000), jnp.int32)
+    y0 = m0.apply({"params": p0}, wav, mask)
+    y1 = m1.apply({"params": p0}, wav, mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-5, rtol=1e-5)

@@ -1,0 +1,74 @@
+"""Resynthesis training entry point (BASELINE config #4).
+
+    python train_synthesis.py --config configs/sylber_resynthesis_mini.yaml
+
+Trains the SegmentSynthesis CFM stack (frozen encoder -> conditioning
+features -> voicebox Regressor vector field) with the reference trainer
+recipe — the reference's own released training forward is broken dead code
+(`/root/reference/sylber/model/segment_synthesis.py:152-199`, SURVEY.md
+§2.4.3); the intended objective is implemented in
+`sylber_tpu.synthesis.make_synthesis_train_step` following
+`flowmatching.py:826-871` + `segment_synthesis.py:244-250`.
+
+On this image the (wav, articulatory) corpus is the synthetic syllabic
+generator with analytic ground truth; point ``speech_model_ckpt`` at a real
+encoder checkpoint and swap the data section for LibriSpeech+SPARC when
+available. ``--fixture-dir`` writes the trained trainable params + eval
+metrics as a test fixture (mini recipe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import yaml
+
+from sylber_tpu.utils.platform import apply_jax_platform
+
+apply_jax_platform()  # axon ignores $JAX_PLATFORMS; must go through jax.config
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--eval-steps", type=int, default=50,
+                    help="ODE steps for the held-out gate (demo uses 50)")
+    ap.add_argument("--fixture-dir", default=None,
+                    help="write mini_synth fixture (npz + json) here")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    out_dir = args.out_dir or f"runs/{cfg.get('name', 'synthesis')}"
+
+    from sylber_tpu.train.synthesis_loop import train_synthesis
+
+    state, metrics = train_synthesis(
+        cfg, out_dir=out_dir, max_steps=args.max_steps,
+        log_every=args.log_every, eval_steps=args.eval_steps)
+
+    if args.fixture_dir:
+        import jax
+
+        from sylber_tpu.io.checkpoint import save_params_npz
+
+        fx = Path(args.fixture_dir)
+        fx.mkdir(parents=True, exist_ok=True)
+        params = jax.device_get(state.params)
+        save_params_npz(str(fx / "mini_synth.npz"),
+                        {"input_mlp": params.input_mlp,
+                         "regressor": params.regressor})
+        meta = {"config": cfg, "eval": metrics}
+        (fx / "mini_synth.json").write_text(json.dumps(meta, indent=1))
+        print(f"fixture written to {fx}/mini_synth.npz")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -106,9 +106,31 @@ def main():
             vocoder = SparcDecoder(dcfg, params=hifigan_params_from_torch(
                 sd, dcfg.generator))
         else:
-            vocoder = None
-            print("note: no --vocoder-ckpt; decoding with random-init "
-                  "weights (pipeline demo, not intelligible audio)")
+            # fall back to the checked-in mini vocoder fixture (trained on
+            # synthetic (art, wav) pairs by scripts/train_vocoder_proof.py):
+            # tonal, pitch-tracking audio rather than noise
+            fx = os.path.join(os.path.dirname(__file__), "..", "tests",
+                              "fixtures", "mini_vocoder.npz")
+            meta_p = fx.replace(".npz", ".json")
+            if os.path.exists(fx) and os.path.exists(meta_p):
+                import json
+
+                from sylber_tpu.io.checkpoint import load_params_npz
+                from sylber_tpu.vocoder.hifigan import HiFiGANConfig
+                from sylber_tpu.vocoder.sparc import SparcDecoderConfig
+
+                meta = json.load(open(meta_p))
+                dcfg = SparcDecoderConfig(
+                    generator=HiFiGANConfig(**meta["generator"]))
+                vocoder = SparcDecoder(dcfg, params=load_params_npz(fx))
+                print(f"using mini vocoder fixture {fx} "
+                      f"(spec_corr {meta['eval']['spec_corr']:.2f} on "
+                      "synthetic held-out)")
+            else:
+                vocoder = None
+                print("note: no --vocoder-ckpt and no mini_vocoder fixture; "
+                      "decoding with random-init weights (pipeline demo, "
+                      "not intelligible audio)")
         spk = np.zeros(64, np.float32) if args.spk_emb is None \
             else np.load(args.spk_emb).astype(np.float32)
         wav_out = synth.decode_audio(art, spk, pitch_mean=args.pitch_mean,

@@ -76,10 +76,11 @@ def main():
     mask = jnp.ones((B, L), jnp.int32)
     noise = jnp.asarray(rng.randn(B, L).astype(np.float32) * 0.1)
 
-    def build(remat=False, dtype="bfloat16"):
+    def build(remat=False, dtype="bfloat16", fused_qkv=False):
         hub = HubertConfig(num_hidden_layers=9, dtype=jnp.dtype(dtype),
                            precision="default",
-                           frontend_dtype=jnp.dtype(dtype), remat=remat)
+                           frontend_dtype=jnp.dtype(dtype), remat=remat,
+                           fused_qkv=fused_qkv)
         cfg = DistillConfig(
             model=hub, segment_online=True, use_train_thrupdate=True,
             merge_threshold_range=(0.8, 0.9), do_noise_augment=True,
@@ -209,6 +210,30 @@ def main():
     if not ONLY_FULL:
         hub_r, cfg_r, state_r = build(remat=True)
         full_step_timer(cfg_r, state_r, "full step (bf16, remat)")
+
+    # 5. fused-QKV A/B (one (d, 3d) qkv matmul per layer; VERDICT r2 #4)
+    hub_f, cfg_f, state_f = build(fused_qkv=True)
+    full_step_timer(cfg_f, state_f, f"full step (bf16, rbg, fused qkv)",
+                    key=jax.random.key(5, impl="rbg"))
+
+    # 6. XLA cost-analysis cross-check of the analytic FLOP count the MFU
+    # numbers are derived from (utils/profiling.py approximations)
+    if os.environ.get("SYLBER_MFU_COST_ANALYSIS", "1") == "1":
+        step_fn = make_train_step(cfg)
+        compiled = jax.jit(step_fn).lower(
+            state, batch, jax.random.key(6, impl="rbg")).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_xla = float(ca.get("flops", float("nan")))
+        flops_analytic = float(hubert_train_flops(hub, B, L))
+        results["xla_cost_analysis_flops"] = flops_xla
+        results["analytic_flops"] = flops_analytic
+        results["flops_ratio_analytic_over_xla"] = round(
+            flops_analytic / flops_xla, 4) if flops_xla == flops_xla else None
+        print(f"XLA cost_analysis flops: {flops_xla:.3e}  "
+              f"analytic: {flops_analytic:.3e}  "
+              f"ratio analytic/xla: {flops_analytic / flops_xla:.3f}")
 
     print(json.dumps(results))
     with open("/tmp/mfu_breakdown.json", "w") as f:

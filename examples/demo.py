@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sylber_tpu.utils.platform import apply_jax_platform
+
+apply_jax_platform()  # axon ignores $JAX_PLATFORMS; force via jax.config
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -40,12 +44,36 @@ def main():
     ap.add_argument("--spk-emb", default=None,
                     help=".npy speaker embedding (default: zeros)")
     ap.add_argument("--pitch-mean", type=float, default=120.0)
+    ap.add_argument("--mini-fixtures", action="store_true",
+                    help="run the whole pipeline on the checked-in TRAINED "
+                         "mini fixtures (144-d encoder + CFM synthesis + "
+                         "HiFi-GAN vocoder, all trained on the synthetic "
+                         "corpus) — fully-functional offline demo")
     args = ap.parse_args()
+
+    fixtures = os.path.join(os.path.dirname(__file__), "..", "tests",
+                            "fixtures")
 
     from sylber_tpu import Segmenter
 
-    segmenter = Segmenter(model_ckpt=args.ckpt,
-                          encoding_layer=args.encoding_layer)
+    if args.mini_fixtures:
+        import json
+
+        from sylber_tpu.io.checkpoint import load_params_npz
+        from sylber_tpu.models.hubert import HubertConfig
+
+        mmeta = json.load(open(os.path.join(fixtures, "mini_ckpt.json")))
+        segmenter = Segmenter(
+            params=load_params_npz(os.path.join(fixtures, "mini_ckpt.npz")),
+            hubert_config=HubertConfig(
+                num_hidden_layers=mmeta["encoding_layer"],
+                **{k: tuple(v) if isinstance(v, list) else v
+                   for k, v in mmeta["hubert"].items()}),
+            norm_threshold=mmeta["norm_threshold"],
+            merge_threshold=mmeta["merge_threshold"])
+    else:
+        segmenter = Segmenter(model_ckpt=args.ckpt,
+                              encoding_layer=args.encoding_layer)
     out = segmenter(wav_file=args.wav, in_second=True)
     segments = out["segments"]
     print(f"{len(segments)} syllable segments "
@@ -74,10 +102,24 @@ def main():
 
     from sylber_tpu import SegmentSynthesis
 
-    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
-                            "sylber_resynthesis.yaml")
-    cfg = yaml.safe_load(open(cfg_path))
-    synth = SegmentSynthesis(model_ckpt=args.synthesis_ckpt, **cfg)
+    if args.mini_fixtures:
+        import json
+
+        from sylber_tpu.io.checkpoint import load_params_npz
+        from sylber_tpu.synthesis import SynthesisParams
+        from sylber_tpu.train.synthesis_loop import synthesis_config_from_dict
+
+        smeta = json.load(open(os.path.join(fixtures, "mini_synth.json")))
+        strained = load_params_npz(os.path.join(fixtures, "mini_synth.npz"))
+        synth = SegmentSynthesis(
+            config=synthesis_config_from_dict(smeta["config"]["model"]),
+            params=SynthesisParams(segmenter.params, strained["input_mlp"],
+                                   strained["regressor"]))
+    else:
+        cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                                "sylber_resynthesis.yaml")
+        cfg = yaml.safe_load(open(cfg_path))
+        synth = SegmentSynthesis(model_ckpt=args.synthesis_ckpt, **cfg)
 
     # frame-level conditioning: each frame carries its segment's feature
     n_frames = out["hidden_states"].shape[0]

@@ -62,20 +62,28 @@ def build_corpus(n_utts: int, seed: int):
     return np.stack(wavs), np.stack(arts), PITCH_MEAN
 
 
-def dominant_f0_track(wav: np.ndarray, sr=16000, frame=1024, hop=320,
+def f0_track_autocorr(wav: np.ndarray, sr=16000, frame=1024, hop=320,
                       fmin=70.0, fmax=400.0):
-    """Crude per-frame dominant F0 via the magnitude-spectrum argmax in the
-    pitch band — enough to check the vocoder reproduces the pitch contour."""
+    """Per-frame F0 + periodicity strength via normalized autocorrelation
+    (argmax lag in the pitch band). Robust to formant-amplified harmonics,
+    unlike a spectrum-argmax tracker (measured: spectrum argmax correlates
+    only 0.42 with the analytic truth on REAL synthetic audio; autocorr
+    finds the true period)."""
+    lmin, lmax = int(sr / fmax), int(sr / fmin)
     n_frames = max((len(wav) - frame) // hop + 1, 0)
-    w = np.hanning(frame)
-    freqs = np.fft.rfftfreq(frame, 1.0 / sr)
-    band = (freqs >= fmin) & (freqs <= fmax)
-    out = np.zeros(n_frames, np.float32)
+    f0 = np.zeros(n_frames, np.float32)
+    strength = np.zeros(n_frames, np.float32)
     for t in range(n_frames):
-        seg = wav[t * hop: t * hop + frame] * w
-        mag = np.abs(np.fft.rfft(seg))
-        out[t] = freqs[band][int(np.argmax(mag[band]))]
-    return out
+        seg = wav[t * hop: t * hop + frame].astype(np.float64)
+        seg = seg - seg.mean()
+        ac = np.correlate(seg, seg, "full")[frame - 1:]
+        if ac[0] <= 1e-9:
+            continue
+        ac = ac / ac[0]
+        lag = lmin + int(np.argmax(ac[lmin: lmax + 1]))
+        f0[t] = sr / lag
+        strength[t] = ac[lag]
+    return f0, strength
 
 
 def evaluate(gen_apply, gen_params, feats, wavs, mel_cfg):
@@ -93,11 +101,13 @@ def evaluate(gen_apply, gen_params, feats, wavs, mel_cfg):
     b = mel_r - mel_r.mean()
     spec_corr = float((a * b).sum()
                       / (np.sqrt((a * a).sum() * (b * b).sum()) + 1e-12))
-    f0_corrs = []
+    f0_corrs, periodicity = [], []
     for i in range(min(8, len(wavs))):
-        f_real = dominant_f0_track(wavs[i])
-        f_fake = dominant_f0_track(fake[i])
-        voiced = f_real > 75.0
+        f_real, s_real = f0_track_autocorr(wavs[i])
+        f_fake, s_fake = f0_track_autocorr(fake[i])
+        voiced = s_real > 0.4  # strongly periodic frames of the REAL audio
+        periodicity.append(float(np.median(s_fake[voiced]))
+                           if voiced.sum() > 10 else 0.0)
         if voiced.sum() > 10:
             fr, ff = f_real[voiced], f_fake[voiced]
             fr = fr - fr.mean()
@@ -106,7 +116,8 @@ def evaluate(gen_apply, gen_params, feats, wavs, mel_cfg):
                 (fr * ff).sum()
                 / (np.sqrt((fr * fr).sum() * (ff * ff).sum()) + 1e-12)))
     return {"mel_l1": mel_l1, "spec_corr": spec_corr,
-            "f0_corr": float(np.mean(f0_corrs)) if f0_corrs else 0.0}
+            "f0_corr": float(np.mean(f0_corrs)) if f0_corrs else 0.0,
+            "periodicity": float(np.mean(periodicity))}
 
 
 def main():

@@ -50,23 +50,39 @@ def main():
     results = {}
 
     def timeit(fn, *args, reps=5):
+        # fn returns a SCALAR — fetching a full tensor over the axon tunnel
+        # (~25 MB/s D2H) costs 5-70 ms and was once misread as compute: the
+        # original version fetched the (B,L,D) carry and every row showed a
+        # ~5 ms/iter "floor" that was really a 12-96 MB transfer / ITERS.
         out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        _ = np.asarray(out)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args)
-            _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+            _ = np.asarray(out)
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)) / ITERS
 
     def scan_n(body):
+        # NOTE: return ys=None — stacking the body output across ITERS
+        # allocates ITERS x |out| and the probe measures those writes, not
+        # the op (first version of this script did exactly that: softmax
+        # "cost" 171 ms = 64 stacked 96 MB copies). The scalar poison keeps
+        # a true iteration-to-iteration dependence so XLA cannot hoist/CSE
+        # the body, and works for bodies whose output shape differs from
+        # the carry.
         def outer(x0, params):
             def step(c, i):
                 out = body(c, params)
-                return x0 + out * jnp.asarray(1e-20, out.dtype), out
+                poison = (out.ravel()[0] * jnp.asarray(1e-20, out.dtype)
+                          ).astype(x0.dtype)
+                return x0 + poison, None
             c, _ = jax.lax.scan(step, x0, jnp.arange(ITERS))
-            return c
+            # Return a SCALAR: the caller's completion fetch is a D2H
+            # np.asarray, and the tunnel moves ~25 MB/s — returning the
+            # full carry would add a transfer floor larger than most ops.
+            return c.ravel()[0].astype(jnp.float32)
         return jax.jit(outer)
 
     def report(name, dt_s, flops=None):
@@ -80,6 +96,11 @@ def main():
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, L, D), dt)
+
+    # --- null program: measures per-call dispatch+fetch overhead (tunnel
+    # RTT) expressed per-iteration, i.e. the additive floor on every row ---
+    null = jax.jit(lambda c: c.ravel()[0].astype(jnp.float32))
+    report("null program (tunnel RTT / ITERS)", timeit(null, x))
 
     # --- full encoder layer (post-LN, as shipped) ---
     from sylber_tpu.models.hubert import EncoderLayer

@@ -76,11 +76,11 @@ def main():
     mask = jnp.ones((B, L), jnp.int32)
     noise = jnp.asarray(rng.randn(B, L).astype(np.float32) * 0.1)
 
-    def build(remat=False, dtype="bfloat16", fused_qkv=False):
+    def build(remat=False, dtype="bfloat16", fused_qkv=False, gelu_tanh=None):
         hub = HubertConfig(num_hidden_layers=9, dtype=jnp.dtype(dtype),
                            precision="default",
                            frontend_dtype=jnp.dtype(dtype), remat=remat,
-                           fused_qkv=fused_qkv)
+                           fused_qkv=fused_qkv, gelu_tanh=gelu_tanh)
         cfg = DistillConfig(
             model=hub, segment_online=True, use_train_thrupdate=True,
             merge_threshold_range=(0.8, 0.9), do_noise_augment=True,
@@ -215,6 +215,13 @@ def main():
     hub_f, cfg_f, state_f = build(fused_qkv=True)
     full_step_timer(cfg_f, state_f, f"full step (bf16, rbg, fused qkv)",
                     key=jax.random.key(5, impl="rbg"))
+
+    # 5b. GELU A/B: the bf16 default is now tanh-GELU (auto); time the
+    # exact-erf variant to attribute the difference (op probe: the erf GELU
+    # on the FFN tensor is the dominant non-matmul op in a layer).
+    hub_g, cfg_g, state_g = build(gelu_tanh=False)
+    full_step_timer(cfg_g, state_g, f"full step (bf16, rbg, exact-erf gelu)",
+                    key=jax.random.key(7, impl="rbg"))
 
     # 6. XLA cost-analysis cross-check of the analytic FLOP count the MFU
     # numbers are derived from (utils/profiling.py approximations)

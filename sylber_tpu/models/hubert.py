@@ -93,6 +93,26 @@ class HubertConfig:
     # (5.1 ms measured — 2.1x). None = auto (on when frontend_dtype is not
     # f32); exact/parity f32 mode keeps the standard lowering.
     frontend_l0_analytic: Optional[bool] = None
+    # tanh-approximate GELU in the encoder FFN + positional-conv epilogue.
+    # The exact-erf GELU on the (B, L, 3072) FFN tensor is the single
+    # largest non-matmul cost in an encoder layer on v5e (op probe: 0.60 ms
+    # vs 0.08 ms tanh per layer application at B=32 L=250 bf16 — LayerNorm
+    # and the fused softmax are each <0.02 ms by comparison), and tanh
+    # deviates from erf by ~1e-3 absolute — far below bf16's ~3e-2
+    # resolution. None = auto (tanh when ``dtype`` is not f32); f32 parity
+    # paths keep exact erf. The frontend has its own analytic-l0 epilogue
+    # with the same auto rule.
+    gelu_tanh: Optional[bool] = None
+
+    def gelu_approx_for(self, dtype) -> bool:
+        """tanh-vs-erf GELU choice for an op running at ``dtype``."""
+        if self.gelu_tanh is None:
+            return dtype != jnp.float32
+        return self.gelu_tanh
+
+    @property
+    def gelu_approximate(self) -> bool:
+        return self.gelu_approx_for(self.dtype)
 
     @property
     def total_stride(self) -> int:
@@ -263,7 +283,13 @@ class ConvFeatureEncoder(nn.Module):
                     dtype=jnp.float32,
                     name="group_norm",
                 )(x)
-            x = nn.gelu(x, approximate=False)
+            # Frontend GELUs run over the largest tensors in the network
+            # (~259M elements across layers 1-6 at B=32 x 5 s) and the
+            # exact-erf form is VPU-bound at ~24 ps/element (op probe) —
+            # several ms per forward. Same auto-tanh rule as the encoder,
+            # keyed on each layer's compute dtype (layer 0 standard path is
+            # always f32 => exact, preserving checkpoint parity).
+            x = nn.gelu(x, approximate=cfg.gelu_approx_for(layer_dtype))
         return x.astype(jnp.float32)
 
 
@@ -304,7 +330,7 @@ class PositionalConvEmbedding(nn.Module):
         if k % 2 == 0:
             # HF SamePadLayer: drop the trailing frame for even kernels.
             out = out[:, :-1, :]
-        return nn.gelu(out, approximate=False)
+        return nn.gelu(out, approximate=cfg.gelu_approximate)
 
 
 class EncoderLayer(nn.Module):
@@ -340,7 +366,7 @@ class EncoderLayer(nn.Module):
 
         h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                      precision=cfg.precision, name="intermediate_dense")(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=cfg.gelu_approximate)
         h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, precision=cfg.precision,
                      name="output_dense")(h)

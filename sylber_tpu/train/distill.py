@@ -294,9 +294,16 @@ def make_train_step(cfg: DistillConfig):
         # global_step % accumulate_grad_batches == 0); off-boundary
         # micro-batches use decay 1.0 (no-op) so the teacher decays by
         # `decay` per optimizer step, not decay**k.
-        boundary = state.step % cfg.accumulate_grad_batches == 0
-        decay = jnp.where(boundary, cfg.ema_decay, 1.0)
-        ema_params = ema_update(state.ema_params, state.params, decay)
+        if cfg.ema_decay >= 1.0:
+            # Frozen teacher (both reference configs, sylber_base.yaml:4):
+            # skip the update entirely — the decay-1.0 tree_map is not free
+            # under XLA (`p * 0.0` is kept for NaN semantics, ~0.5 GB of
+            # HBM traffic per step on the 94 M-param model).
+            ema_params = state.ema_params
+        else:
+            boundary = state.step % cfg.accumulate_grad_batches == 0
+            decay = jnp.where(boundary, cfg.ema_decay, 1.0)
+            ema_params = ema_update(state.ema_params, state.params, decay)
 
         (loss, aux), grads = jax.value_and_grad(distill_loss, has_aux=True)(
             state.params, ema_params, state.thresholder, batch, rng, cfg

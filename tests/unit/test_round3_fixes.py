@@ -161,3 +161,84 @@ def test_fused_qkv_param_tree_and_output_parity():
     y1 = m1.apply({"params": p0}, wav, mask)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_gelu_tanh_knob_resolution():
+    """gelu_tanh=None auto-resolves per compute dtype (tanh off f32, on
+    otherwise); forced values override; f32 parity paths keep exact erf."""
+    from sylber_tpu.models.hubert import HubertConfig
+
+    auto = HubertConfig()
+    assert auto.gelu_approximate is False            # f32 default => erf
+    assert auto.gelu_approx_for(jnp.float32) is False
+    assert auto.gelu_approx_for(jnp.bfloat16) is True
+    fast = HubertConfig(dtype=jnp.bfloat16)
+    assert fast.gelu_approximate is True
+    forced_off = HubertConfig(dtype=jnp.bfloat16, gelu_tanh=False)
+    assert forced_off.gelu_approximate is False
+    assert forced_off.gelu_approx_for(jnp.bfloat16) is False
+    forced_on = HubertConfig(gelu_tanh=True)
+    assert forced_on.gelu_approx_for(jnp.float32) is True
+
+
+def test_gelu_tanh_changes_bf16_output_but_not_f32():
+    """The knob must actually reach the compute graph: flipping it changes
+    bf16-encoder outputs (tanh vs erf differ by ~1e-3 pre-rounding) and,
+    with auto, the f32 path is bit-identical to forced-erf."""
+    from sylber_tpu.models.hubert import HubertConfig, HubertModel
+
+    base = dict(num_hidden_layers=1, hidden_size=32, num_attention_heads=4,
+                intermediate_size=64, conv_dim=(16,) * 7,
+                num_conv_pos_embeddings=16,
+                num_conv_pos_embedding_groups=4)
+    wav = jnp.asarray(
+        np.random.RandomState(0).randn(1, 4000).astype(np.float32))
+    mask = jnp.ones((1, 4000), jnp.int32)
+
+    cfg_f32 = HubertConfig(**base)
+    p = HubertModel(cfg_f32).init_params(jax.random.PRNGKey(0),
+                                         example_len=4000)
+    y_auto = HubertModel(cfg_f32).apply({"params": p}, wav, mask)
+    y_erf = HubertModel(HubertConfig(**base, gelu_tanh=False)).apply(
+        {"params": p}, wav, mask)
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_erf))
+
+    y_tanh = HubertModel(HubertConfig(**base, gelu_tanh=True)).apply(
+        {"params": p}, wav, mask)
+    diff = np.abs(np.asarray(y_tanh) - np.asarray(y_auto)).max()
+    assert 0 < diff < 0.1, diff
+
+
+def test_frozen_teacher_step_skips_ema_and_matches_decay_path():
+    """ema_decay=1.0 short-circuits the EMA tree_map; the teacher tree must
+    be the SAME object (no copy) and training semantics must match the
+    pre-shortcut behavior (teacher frozen at init)."""
+    from sylber_tpu.models.hubert import HubertConfig
+    from sylber_tpu.train.distill import (DistillConfig, init_train_state,
+                                          make_train_step)
+
+    hub = HubertConfig(num_hidden_layers=1, hidden_size=32,
+                       num_attention_heads=4, intermediate_size=64,
+                       conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4)
+    cfg = DistillConfig(model=hub, ema_decay=1.0, lr=1e-3,
+                        warmup_steps=0, total_steps=10, segment_online=True)
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    batch = {
+        "input_values": jnp.asarray(
+            np.random.RandomState(1).randn(2, 8000).astype(np.float32)),
+        "attention_mask": jnp.ones((2, 8000), jnp.int32),
+    }
+    s1, m1 = step(state, batch, jax.random.PRNGKey(2))
+    leaves0 = jax.tree.leaves(state.ema_params)
+    leaves1 = jax.tree.leaves(s1.ema_params)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params actually moved (optimizer applied) and loss is finite
+    assert np.isfinite(float(m1["loss"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(s1.params)))
+    assert moved

@@ -10,7 +10,7 @@ mirrors the reference package (`/root/reference/sylber/__init__.py`):
 from .api import Segmenter
 
 __all__ = ["Segmenter", "Sylber", "SegmentSynthesis", "SylberTokenizer",
-           "StreamingSegmenter", "LongFormSegmenter"]
+           "StreamingSegmenter", "LongFormSegmenter", "SegmenterServer"]
 __version__ = "0.1.0"
 
 _LAZY = {
@@ -19,6 +19,7 @@ _LAZY = {
     "SylberTokenizer": ("sylber_tpu.tokenizer", "SylberTokenizer"),
     "StreamingSegmenter": ("sylber_tpu.streaming", "StreamingSegmenter"),
     "LongFormSegmenter": ("sylber_tpu.longform", "LongFormSegmenter"),
+    "SegmenterServer": ("sylber_tpu.serve", "SegmenterServer"),
 }
 
 

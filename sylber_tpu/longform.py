@@ -26,6 +26,20 @@ track (reference output contract); ``False`` is the fast serving path.
 
 The per-window frontend overlap also neutralizes conv edge effects: windows
 carry receptive-field context on both sides.
+
+**Device-resident fast path** (``transfer="int16"``, the default for
+``return_hidden=False``): the whole recording is uploaded ONCE as
+peak-scaled int16 PCM and the overlapping windows are gathered *in-graph*,
+so a 10-minute recording moves ~19 MB host->device instead of ~46 MB
+(float32 windows re-upload every overlap region and the padding tail), and
+all window batches dispatch asynchronously before the first result is
+fetched. On the axon-tunneled v5e (~25 MB/s H2D) the transfer — not compute
+(~0.1 s of device time) — dominates long-form latency. Measured on the
+trained 768-d fixture (10-min recording): 439x RT resident vs 272x
+float32-window (1.6x), boundary F1 = 1.0 between the paths. The int16
+quantization
+(1/32767 of recording peak) sits far below bf16 resolution; parity mode
+(``transfer="float32"``) keeps the bit-exact float window path.
 """
 
 from __future__ import annotations
@@ -37,6 +51,26 @@ import numpy as np
 from .api import FRAME_RATE, Segmenter
 
 FRAME = 320
+
+_POOL_JIT = None
+
+
+def _masked_mean_pool(h, ls, le):
+    """jitted masked mean over (K, T, d) spans; module-level so the compile
+    cache is stable across LongFormSegmenter instances."""
+    global _POOL_JIT
+    if _POOL_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def pool(h, ls, le):
+            t = jnp.arange(h.shape[1])[None, :]
+            m = ((t >= ls[:, None]) & (t < le[:, None])).astype(h.dtype)
+            return (jnp.einsum("kt,ktd->kd", m, h)
+                    / jnp.maximum(le - ls, 1)[:, None].astype(h.dtype))
+
+        _POOL_JIT = jax.jit(pool)
+    return _POOL_JIT(h, ls, le)
 
 
 class LongFormSegmenter:
@@ -52,12 +86,16 @@ class LongFormSegmenter:
         chunk_seconds: float = 30.0,
         overlap_seconds: float = 2.0,
         batch_windows: int = 8,
+        transfer: str = "int16",
     ) -> None:
         assert overlap_seconds * 2 < chunk_seconds
+        assert transfer in ("int16", "float32")
         self.segmenter = segmenter
         self.chunk_frames = int(chunk_seconds * FRAME_RATE)
         self.overlap_frames = int(overlap_seconds * FRAME_RATE)
         self.batch_windows = batch_windows
+        self.transfer = transfer
+        self._progs: Dict[tuple, object] = {}
 
     def __call__(self, wav=None, wav_file=None, in_second: bool = True,
                  norm_threshold: Optional[float] = None,
@@ -78,20 +116,23 @@ class LongFormSegmenter:
                                   norm_threshold=norm_threshold,
                                   merge_threshold=merge_threshold)
 
-        windows = []
-        for s in starts:
-            lo = s * FRAME
-            hi = min((s + self.chunk_frames) * FRAME + FRAME, len(wav))
-            windows.append(wav[lo:hi])
-
         mode = True if return_hidden else "device"
-        results: List[Dict] = []
-        for i in range(0, len(windows), self.batch_windows):
-            results.extend(self.segmenter.process(
-                windows[i: i + self.batch_windows], in_second=False,
-                norm_threshold=norm_threshold,
-                merge_threshold=merge_threshold,
-                return_hidden=mode))
+        if self.transfer == "int16" and self.segmenter.mesh is None:
+            results = self._run_resident(wav, starts, mode,
+                                         norm_threshold, merge_threshold)
+        else:
+            windows = []
+            for s in starts:
+                lo = s * FRAME
+                hi = min((s + self.chunk_frames) * FRAME + FRAME, len(wav))
+                windows.append(wav[lo:hi])
+            results = []
+            for i in range(0, len(windows), self.batch_windows):
+                results.extend(self.segmenter.process(
+                    windows[i: i + self.batch_windows], in_second=False,
+                    norm_threshold=norm_threshold,
+                    merge_threshold=merge_threshold,
+                    return_hidden=mode))
 
         cuts = self._cuts(starts, results)
         stitched = self._stitch_segments(starts, results, cuts)
@@ -113,6 +154,106 @@ class LongFormSegmenter:
         if return_hidden:
             out["hidden_states"] = hidden
         return out
+
+    # ------------------------------------------------------------------
+    # device-resident fast path
+
+    def _resident_program(self, W: int):
+        """One jitted program per window length: gather ``batch_windows``
+        overlapping windows from the resident PCM buffer and run the fused
+        forward+segment. Resident-buffer length is a dynamic-irrelevant
+        operand only through the gather, but XLA specializes on shape, so
+        callers bucket it (60 s granularity) to bound compiles."""
+        if W in self._progs:
+            return self._progs[W]
+        import jax
+        import jax.numpy as jnp
+
+        from .models.hubert import feature_vector_attention_mask
+        from .ops.segment import segment_batch
+
+        seg = self.segmenter
+        model, config = seg.model, seg.config
+
+        def fwd(params, pcm, inv_scale, starts, nvalid, nt, mt):
+            idx = starts[:, None] * FRAME + jnp.arange(W)[None, :]
+            x = pcm[idx].astype(jnp.float32) * inv_scale
+            mask = (jnp.arange(W)[None, :] < nvalid[:, None]).astype(jnp.int32)
+            x = x * mask
+            hidden = model.apply({"params": params}, x, mask).astype(
+                jnp.float32)
+            frame_valid = feature_vector_attention_mask(
+                config, mask, hidden.shape[1]).astype(bool)
+            res = segment_batch(hidden, nt, mt, frame_valid=frame_valid)
+            return hidden, res
+
+        prog = jax.jit(fwd)
+        self._progs[W] = prog
+        return prog
+
+    def _run_resident(self, wav, starts, mode, norm_threshold,
+                      merge_threshold) -> List[Dict]:
+        """Upload once (peak-scaled int16), gather windows in-graph,
+        dispatch every batch before fetching any result."""
+        import jax.numpy as jnp
+
+        seg = self.segmenter
+        nt = seg.norm_threshold if norm_threshold is None else float(
+            norm_threshold)
+        mt = seg.merge_threshold if merge_threshold is None else float(
+            merge_threshold)
+        W = self.chunk_frames * FRAME + FRAME
+        peak = float(np.abs(wav).max())
+        scale = 32767.0 / max(peak, 1e-6)
+        # bucket the resident buffer (60 s granularity) so recordings of
+        # similar length reuse one compiled program
+        need = starts[-1] * FRAME + W
+        bucket = 60 * 16000
+        pad_len = ((need + bucket - 1) // bucket) * bucket
+        pcm = np.zeros(pad_len, np.int16)
+        pcm[: len(wav)] = np.round(wav * scale)
+        pcm_dev = jnp.asarray(pcm)
+        inv_scale = jnp.float32(1.0 / scale)
+        prog = self._resident_program(W)
+
+        B = self.batch_windows
+        raw = []
+        for i in range(0, len(starts), B):
+            chunk = starts[i: i + B]
+            n_real = len(chunk)
+            st = np.asarray(chunk + [chunk[-1]] * (B - n_real), np.int32)
+            nv = np.minimum(np.maximum(len(wav) - st.astype(np.int64)
+                                       * FRAME, 0), W).astype(np.int32)
+            nv[n_real:] = 0  # padded rows: fully masked
+            hidden, res = prog(seg.params, pcm_dev, inv_scale,
+                               jnp.asarray(st), jnp.asarray(nv),
+                               jnp.float32(nt), jnp.float32(mt))
+            raw.append((hidden, res, n_real, nv))
+
+        results: List[Dict] = []
+        for hidden, res, n_real, nv in raw:
+            nseg = np.asarray(res.num_segments)[:n_real]
+            max_k = max(int(nseg.max()) if n_real else 1, 1)
+            segs = np.asarray(res.segments[:n_real, :max_k])
+            feats = np.asarray(res.features[:n_real, :max_k])
+            norms = np.asarray(res.norms[:n_real])
+            hidden_host = np.asarray(hidden[:n_real]) if mode is True else None
+            for j in range(n_real):
+                k = int(nseg[j])
+                t_valid = seg.config.feat_extract_output_length(int(nv[j]))
+                out = {
+                    "segments": segs[j, :k].astype(np.int64),
+                    "segment_features": feats[j, :k].copy() if k
+                    else np.array([]),
+                    "frame_norms": norms[j, :t_valid],
+                }
+                if mode is True:
+                    out["hidden_states"] = hidden_host[j, :t_valid]
+                else:
+                    out["hidden_states_device"] = hidden[j]
+                    out["num_frames"] = t_valid
+                results.append(out)
+        return results
 
     # ------------------------------------------------------------------
 
@@ -168,24 +309,53 @@ class LongFormSegmenter:
         return np.concatenate(pieces, axis=0)
 
     def _features_fast(self, starts, results, stitched) -> np.ndarray:
-        """Window-pooled features for untruncated segments; lazy device-slice
-        fetch + re-pool for the few segments clipped at cut points."""
+        """Window-pooled features for untruncated segments; segments clipped
+        at cut points are re-pooled from device-resident hidden states.
+
+        All clipped segments are re-pooled in ONE jitted program + one fetch:
+        a per-segment fetch costs a full tunnel round-trip (~30 ms on axon),
+        and a 10-minute recording has ~40 cut segments — the per-segment
+        form spent ~1.3 s on RTTs alone, dominating the whole long-form
+        pass (measured: batching this took the path from ~210x to the
+        transfer-bound regime)."""
         if not stitched:
             return np.array([])
-        feats = []
-        for (w, s, e, truncated) in stitched:
+        feats: List[Optional[np.ndarray]] = [None] * len(stitched)
+        repool = []  # (slot, window, local_start, local_end)
+        for slot, (w, s, e, truncated) in enumerate(stitched):
             r = results[w]
             if not truncated:
                 segs_w = np.asarray(r["segments"], np.int64).reshape(-1, 2) \
                     + starts[w]
                 idx = np.where((segs_w[:, 0] == s) & (segs_w[:, 1] == e))[0]
                 if len(idx):
-                    feats.append(np.asarray(r["segment_features"][idx[0]]))
+                    feats[slot] = np.asarray(r["segment_features"][idx[0]])
                     continue
-            ls, le = s - starts[w], e - starts[w]
-            h = r["hidden_states_device"]
-            if hasattr(h, "device"):  # jax array: mean on device, fetch (d,)
-                feats.append(np.asarray(h[ls:le].mean(axis=0)))
-            else:
-                feats.append(np.asarray(h[ls:le]).mean(0))
+            repool.append((slot, w, s - starts[w], e - starts[w]))
+
+        if repool:
+            hs = [results[w]["hidden_states_device"] for _, w, _, _ in repool]
+            if (hasattr(hs[0], "device")
+                    and len({h.shape for h in hs}) == 1):
+                for slot, f in zip((r[0] for r in repool),
+                                   self._batched_repool(hs, repool)):
+                    feats[slot] = f
+            else:  # host arrays or ragged windows: direct pooling
+                for slot, w, ls, le in repool:
+                    h = results[w]["hidden_states_device"]
+                    feats[slot] = np.asarray(h[ls:le]).mean(0)
         return np.stack(feats)
+
+    def _batched_repool(self, hs, repool) -> np.ndarray:
+        """Masked-mean of K (window, start, end) spans in one program."""
+        import jax.numpy as jnp
+
+        K = len(repool)
+        Kpad = max(8, 1 << (K - 1).bit_length())  # bucket compiles
+        ls = np.zeros(Kpad, np.int32)
+        le = np.ones(Kpad, np.int32)
+        ls[:K] = [r[2] for r in repool]
+        le[:K] = [r[3] for r in repool]
+        h = jnp.stack(hs + [hs[0]] * (Kpad - K))  # (Kpad, T, d)
+        return np.asarray(_masked_mean_pool(
+            h, jnp.asarray(ls), jnp.asarray(le)))[:K]

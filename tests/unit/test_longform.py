@@ -145,3 +145,64 @@ def test_longform_api_smoke():
     np.testing.assert_array_equal(fast["segments"], segs)
     np.testing.assert_allclose(fast["segment_features"],
                                out["segment_features"], atol=2e-4, rtol=1e-3)
+
+
+def test_resident_int16_path_matches_float32_path():
+    """Device-resident int16 fast path vs the float32 window path: same
+    recording, same thresholds. int16 quantization (1/32767 of peak) and
+    cross-program float rounding can flip only marginal cosine decisions,
+    so the gate is boundary agreement, not bit equality."""
+    from sylber_tpu.api import Segmenter
+    from sylber_tpu.models.hubert import HubertConfig
+    from sylber_tpu.utils.metrics import boundary_f1
+
+    cfg = HubertConfig(num_hidden_layers=1, hidden_size=32,
+                       num_attention_heads=4, intermediate_size=64,
+                       conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4, precision="default")
+    seg = Segmenter(hubert_config=cfg)
+
+    rng = np.random.RandomState(7)
+    t = np.arange(16000 * 13) / 16000.0
+    f0 = 130 + 25 * np.sin(2 * np.pi * 0.9 * t)
+    env = np.clip(np.sin(2 * np.pi * 3.7 * t), 0, None)
+    gate = (np.sin(2 * np.pi * 0.5 * t) > -0.3).astype(float)
+    wav = (np.sin(2 * np.pi * f0 * t) * env * gate
+           + 0.01 * rng.randn(len(t))).astype(np.float32)
+
+    kw = dict(wav=wav, in_second=False, norm_threshold=1.0,
+              merge_threshold=0.9, return_hidden=False)
+    out_res = LongFormSegmenter(seg, chunk_seconds=4.0, overlap_seconds=1.0,
+                                batch_windows=2, transfer="int16")(**kw)
+    out_f32 = LongFormSegmenter(seg, chunk_seconds=4.0, overlap_seconds=1.0,
+                                batch_windows=2, transfer="float32")(**kw)
+
+    a, b = out_res["segments"], out_f32["segments"]
+    assert len(a) and len(b)
+    f1 = boundary_f1(a, b, tol_frames=0)
+    assert f1 > 0.9, (f1, a[:5], b[:5])
+    # same audio span covered
+    assert abs(int(a[-1][1]) - int(b[-1][1])) <= 2
+
+
+def test_resident_path_handles_short_tail_window():
+    """Last window shorter than chunk + a wav not divisible by the frame."""
+    from sylber_tpu.api import Segmenter
+    from sylber_tpu.models.hubert import HubertConfig
+
+    cfg = HubertConfig(num_hidden_layers=1, hidden_size=32,
+                       num_attention_heads=4, intermediate_size=64,
+                       conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4, precision="default")
+    seg = Segmenter(hubert_config=cfg)
+    lf = LongFormSegmenter(seg, chunk_seconds=4.0, overlap_seconds=1.0,
+                           batch_windows=2)
+    rng = np.random.RandomState(9)
+    wav = rng.randn(16000 * 9 + 137).astype(np.float32)
+    out = lf(wav=wav, in_second=False, norm_threshold=1.0,
+             merge_threshold=0.9, return_hidden=False)
+    segs = out["segments"]
+    if len(segs):
+        assert (segs[:, 1] > segs[:, 0]).all()
+        assert segs[-1][1] <= len(wav) // 320
+        assert len(out["segment_features"]) == len(segs)

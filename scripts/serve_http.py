@@ -44,6 +44,11 @@ def main() -> None:
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 fast mode (default: fp32 parity mode)")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic W8A8 int8 encoder matmuls (implies bf16 "
+                        "elsewhere). Measured neutral-vs-bf16 on v5e at "
+                        "768-d (0.94-1.0x, boundary-F1 >= 0.992 vs exact); "
+                        "kept for wider models where MXU time dominates")
     p.add_argument("--encoding-layer", type=int, default=9,
                    help="encoder depth (reference Segmenter arg)")
     p.add_argument("--no-warmup", action="store_true")
@@ -55,10 +60,11 @@ def main() -> None:
     from sylber_tpu.models.hubert import HubertConfig
     from sylber_tpu.serve import SegmenterServer
 
-    if args.bf16:  # fast serving mode: bf16 encoder + bf16 frontend
+    if args.bf16 or args.int8:  # fast serving: bf16 encoder + frontend
         cfg = HubertConfig(num_hidden_layers=args.encoding_layer,
                            dtype=jnp.bfloat16, precision="default",
-                           frontend_dtype=jnp.bfloat16)
+                           frontend_dtype=jnp.bfloat16,
+                           int8_encoder=args.int8)
     else:  # fp32 parity mode
         cfg = HubertConfig(num_hidden_layers=args.encoding_layer)
     seg = Segmenter(model_ckpt=args.ckpt, hubert_config=cfg,

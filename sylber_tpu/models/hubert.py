@@ -83,6 +83,16 @@ class HubertConfig:
     # (param tree unchanged: separate q/k/v leaves concatenated at apply
     # time). Off by default pending a measured win; see ops/attention.py.
     fused_qkv: bool = False
+    # dynamic W8A8 int8 encoder matmuls (inference serving mode): the v5e
+    # MXU runs int8 at 2x its bf16 rate; weights are quantized in-graph
+    # (per-output-channel), activations per-token (ops/int8.py). Param tree
+    # unchanged. Accuracy is gated by the fast-vs-exact boundary-F1 harness
+    # (measured 0.992-0.9997 on the trained 768-d fixture); training paths
+    # must keep this off. Measured speed at 768-d is NEUTRAL on v5e
+    # (0.94-1.0x vs bf16, scripts/int8_probe.py): the per-token quantize
+    # VPU passes offset the MXU gain at these matmul shapes. Kept as a
+    # correct, gated mode for wider models where projections dominate.
+    int8_encoder: bool = False
     # analytic-GroupNorm fast path for frontend layer 0 (the most expensive
     # op in the network: its output is the largest tensor, 16 kHz/5, and the
     # op is VPU-bound on the GELU — measured 10.6 ms of a 32 ms forward at
@@ -355,6 +365,7 @@ class EncoderLayer(nn.Module):
             dropout_rate=cfg.attention_dropout,
             deterministic=deterministic,
             fused_qkv=cfg.fused_qkv,
+            int8=cfg.int8_encoder,
             name="attention",
         )
         attn_out = nn.Dropout(cfg.hidden_dropout)(
@@ -364,12 +375,26 @@ class EncoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                          name="layer_norm")(x)
 
-        h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
-                     precision=cfg.precision, name="intermediate_dense")(x)
+        if cfg.int8_encoder:
+            from ..ops.attention import _DenseParams
+            from ..ops.int8 import int8_dense
+
+            wi, bi = _DenseParams(cfg.hidden_size, cfg.intermediate_size,
+                                  name="intermediate_dense")()
+            h = int8_dense(x, wi, bi, out_dtype=cfg.dtype)
+        else:
+            h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
+                         precision=cfg.precision,
+                         name="intermediate_dense")(x)
         h = nn.gelu(h, approximate=cfg.gelu_approximate)
         h = nn.Dropout(cfg.activation_dropout)(h, deterministic=deterministic)
-        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, precision=cfg.precision,
-                     name="output_dense")(h)
+        if cfg.int8_encoder:
+            wo, bo = _DenseParams(cfg.intermediate_size, cfg.hidden_size,
+                                  name="output_dense")()
+            h = int8_dense(h, wo, bo, out_dtype=cfg.dtype)
+        else:
+            h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                         precision=cfg.precision, name="output_dense")(h)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         x = x + h
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,

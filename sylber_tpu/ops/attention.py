@@ -136,6 +136,7 @@ class MultiHeadSelfAttention(nn.Module):
     dropout_rate: float = 0.0
     precision: str = "highest"
     fused_qkv: bool = False
+    int8: bool = False  # dynamic W8A8 projections (ops/int8.py), serving only
 
     @nn.compact
     def __call__(
@@ -152,7 +153,19 @@ class MultiHeadSelfAttention(nn.Module):
             b, l, _ = t.shape
             return t.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        if self.fused_qkv:
+        if self.int8:
+            # one fused (d, 3d) int8 matmul; per-output-channel weight
+            # scales make the concat lossless vs separate projections
+            from .int8 import int8_dense
+
+            wq, bq = _DenseParams(d_model, d_model, name="q_proj")()
+            wk, bk = _DenseParams(d_model, d_model, name="k_proj")()
+            wv, bv = _DenseParams(d_model, d_model, name="v_proj")()
+            qkv = int8_dense(x, jnp.concatenate([wq, wk, wv], axis=1),
+                             jnp.concatenate([bq, bk, bv]),
+                             out_dtype=self.dtype)
+            q, k, v = (split(t) for t in jnp.split(qkv, 3, axis=-1))
+        elif self.fused_qkv:
             wq, bq = _DenseParams(d_model, d_model, name="q_proj")()
             wk, bk = _DenseParams(d_model, d_model, name="k_proj")()
             wv, bv = _DenseParams(d_model, d_model, name="v_proj")()
@@ -179,6 +192,11 @@ class MultiHeadSelfAttention(nn.Module):
 
         b, h, l, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        if self.int8:
+            from .int8 import int8_dense
+
+            wo, bo = _DenseParams(d_model, d_model, name="out_proj")()
+            return int8_dense(out, wo, bo, out_dtype=self.dtype)
         return nn.Dense(d_model, dtype=self.dtype, precision=self.precision,
                         name="out_proj")(out)
 
@@ -193,10 +211,11 @@ def multi_head_attention(
     deterministic: bool = True,
     precision: str = "highest",
     fused_qkv: bool = False,
+    int8: bool = False,
     name: str = "attention",
 ) -> jnp.ndarray:
     """Inline-module helper for use inside @nn.compact bodies."""
     return MultiHeadSelfAttention(
         num_heads=num_heads, dtype=dtype, dropout_rate=dropout_rate,
-        precision=precision, fused_qkv=fused_qkv, name=name
+        precision=precision, fused_qkv=fused_qkv, int8=int8, name=name
     )(x, bias=bias, deterministic=deterministic)

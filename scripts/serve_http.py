@@ -3,6 +3,10 @@
 POST /segment     body: raw little-endian int16 or float32 PCM @ 16 kHz
                   (Content-Type: audio/l16 or application/octet-stream;
                   X-Dtype: int16|float32, default int16)
+                  optional query params: norm_threshold, merge_threshold
+                  (floats; SegmenterServer groups same-threshold requests
+                  into one device batch), in_second=0|1 (default 1:
+                  segment boundaries in seconds, reference contract)
                   -> JSON {segments: [[s,e],...], segment_features: [[...]],
                            num_segments: K}
 GET  /stats       -> JSON serving counters
@@ -100,19 +104,29 @@ def main() -> None:
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/segment":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/segment":
                 self._json(404, {"error": "not found"})
                 return
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n)
             dtype = self.headers.get("X-Dtype", "int16")
             try:
+                q = parse_qs(url.query)
+                kw = {}
+                for name in ("norm_threshold", "merge_threshold"):
+                    if name in q:
+                        kw[name] = float(q[name][0])
+                if "in_second" in q:
+                    kw["in_second"] = q["in_second"][0] not in ("0", "false")
                 if dtype == "float32":
                     wav = np.frombuffer(raw, "<f4").astype(np.float32)
                 else:
                     wav = np.frombuffer(raw, "<i2").astype(np.float32)
                     wav /= 32768.0
-                out = server.segment(wav)
+                out = server.segment(wav, **kw)
             except Exception as e:
                 self._json(400, {"error": str(e)})
                 return

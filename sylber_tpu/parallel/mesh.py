@@ -122,22 +122,81 @@ def hubert_param_specs(params, use_tp: bool = True):
 
 def shard_params(params, mesh: Mesh, use_tp: bool = True):
     specs = hubert_param_specs(params, use_tp=use_tp)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+    return jax.tree.map(lambda x, s: put_global(x, mesh, s), params, specs)
+
+
+def put_global(x, mesh: Mesh, spec: P):
+    """Place a host array as a global array sharded by ``spec``.
+
+    Single-process: plain ``device_put``. Multi-process (after
+    ``jax.distributed.initialize``): every process passes the SAME host
+    value (the data pipeline is seeded identically on every host — see
+    train/loop.py) and this assembles the global array from each process's
+    addressable shards, which is the only placement path that works when
+    the sharding spans non-addressable devices. PRNG keys (extended dtypes)
+    are unwrapped/rewrapped around the placement since numpy can't slice
+    them.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and jnp_issubdtype_extended(x.dtype):
+        data = put_global(np.asarray(jax.random.key_data(x)), mesh, spec)
+        return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+    x = np.asarray(x)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    arrs = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, arrs)
+
+
+def jnp_issubdtype_extended(dtype) -> bool:
+    import jax.numpy as jnp
+
+    return jnp.issubdtype(dtype, jax.dtypes.extended)
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard array leaves over the dp axis (axis 0)."""
+    """Shard array leaves over the dp axis (axis 0); multi-host-safe."""
 
     def put(x):
         if x is None:
             return None
         spec = P("dp", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, mesh, spec)
 
     return jax.tree.map(put, batch, is_leaf=lambda x: x is None)
 
 
 def replicated(x, mesh: Mesh):
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    return put_global(x, mesh, P())
+
+
+def fetch_global(tree):
+    """Host copy of possibly-sharded global arrays (multi-host-safe).
+
+    Single-process: ``device_get``. Multi-process: allgather across
+    processes so every host gets the assembled global value (needed for
+    TP-sharded params at checkpoint hand-off; for replicated leaves this
+    degenerates to a fetch). All processes must call this together.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
+def fetch_replicated(tree):
+    """Host copy of (assumed replicated / process-0-complete) leaves.
+
+    ``jax.device_get`` refuses arrays spanning non-addressable devices
+    (every jitted output on a multi-host mesh); the first addressable
+    shard of a replicated array IS the global value.
+    """
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return jax.device_get(x)
+
+    return jax.tree.map(get, tree)

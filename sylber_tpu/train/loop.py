@@ -22,8 +22,9 @@ from ..data.dataset import SpeechDataset, SyntheticSpeechDataset, load_manifest,
 from ..data.noise import NoiseMixerConfig
 from ..io.checkpoint import TrainCheckpointManager
 from ..models.hubert import HubertConfig
-from ..parallel.mesh import (make_mesh, maybe_distributed_init, replicated,
-                             shard_batch, shard_params)
+from ..parallel.mesh import (fetch_global, fetch_replicated, make_mesh,
+                             maybe_distributed_init, replicated, shard_batch,
+                             shard_params)
 from .distill import DistillConfig, TrainState, init_train_state, make_eval_step, make_train_step
 
 
@@ -140,6 +141,13 @@ def train(
     use_tp = mp > 1
     dp = mesh.shape["dp"]
     assert batch_size % dp == 0, (batch_size, dp)
+    # Multi-process (multi-host) runs: every process executes this same
+    # loop; the data pipeline is seeded identically so each host builds the
+    # same global batch and put_global places its addressable dp-slice
+    # (parallel/mesh.py). Logging/printing happens on process 0 only;
+    # checkpoint saves pass GLOBAL jax arrays so Orbax coordinates the
+    # distributed write itself.
+    is_main = jax.process_index() == 0
 
     # rng_impl "rbg" uses the TPU-hardware RngBitGenerator for all training
     # randomness (dropout masks, merge draws, noise mixing). Measured on
@@ -168,10 +176,11 @@ def train(
                                  save_interval_steps=ckpt_every)
     if mgr.latest_step is not None:
         state = mgr.restore(state)
-        print(f"resumed from step {mgr.latest_step}")
+        if is_main:
+            print(f"resumed from step {mgr.latest_step}")
 
-    logger = MetricLogger(out_dir)
-    start = int(jax.device_get(state.step))
+    logger = MetricLogger(out_dir) if is_main else None
+    start = int(fetch_replicated(state.step))
     # On resume, reseed the data stream from the restored step so steps
     # start..N don't replay the exact batches (shuffle order, crops, noise
     # draws) already consumed by steps 0..(N-start).
@@ -188,6 +197,13 @@ def train(
     transfer = data_cfg.get("transfer", "float32")
     device_resident = data_cfg.get("device_resident",
                                    bool(data_cfg.get("synthetic")))
+    if device_resident and jax.process_count() > 1:
+        # the resident corpus + in-graph gather assumes a single-process
+        # addressable mesh; multi-host runs stream per-step batches instead
+        if is_main:
+            print("multi-process run: device_resident data disabled, "
+                  "using the host-streamed prefetch path")
+        device_resident = False
     if device_resident:
         from ..data.device import device_stream
 
@@ -232,7 +248,7 @@ def train(
                 jax.profiler.stop_trace()
 
             if (step_i + 1) % log_every == 0:
-                m = jax.device_get(metrics)
+                m = fetch_replicated(metrics)
                 now = time.perf_counter()
                 m["steps_per_sec"] = (step_i + 1 - s_last) / (now - t_last)
                 from ..utils.profiling import hubert_train_flops, mfu
@@ -243,10 +259,11 @@ def train(
                     1.0 / max(m["steps_per_sec"], 1e-9),
                     jax.devices()[0].device_kind, dp)
                 t_last, s_last = now, step_i + 1
-                row = logger.log(step_i + 1, m)
-                print(f"step {step_i + 1}: " + " ".join(
-                    f"{k}={v:.4g}" for k, v in row.items()
-                    if k not in ("time", "prefix")))
+                if is_main:
+                    row = logger.log(step_i + 1, m)
+                    print(f"step {step_i + 1}: " + " ".join(
+                        f"{k}={v:.4g}" for k, v in row.items()
+                        if k not in ("time", "prefix")))
             if (step_i + 1) % 50 == 0:
                 # Per-step host garbage forms reference cycles holding the
                 # multi-MB batch buffers; Python's allocation-count GC
@@ -258,7 +275,13 @@ def train(
                 # ~3 ms per call, amortized over 50 steps.
                 gc.collect()
             if mgr.should_save(step_i + 1):
-                mgr.save(step_i + 1, jax.device_get(state))
+                # multi-process: hand Orbax the global (possibly sharded)
+                # arrays — it coordinates the distributed write; fetching
+                # to host first would both break (non-addressable) and
+                # serialize the save through one host.
+                mgr.save(step_i + 1,
+                         jax.device_get(state) if jax.process_count() == 1
+                         else state)
 
             if val_every and (step_i + 1) % val_every == 0:
                 val_bs = data_cfg.get("val_batch_size") or batch_size
@@ -295,8 +318,8 @@ def train(
                         break
                     vm = eval_fn(state, shard_batch(vbatch, mesh),
                                  replicated(jax.random.PRNGKey(vb), mesh))
-                    losses.append(float(vm["loss"]))
-                if losses:
+                    losses.append(float(fetch_replicated(vm["loss"])))
+                if losses and is_main:
                     logger.log(step_i + 1, {"loss": float(np.mean(losses))},
                                prefix="val")
                     print(f"  val loss: {np.mean(losses):.4f}")
@@ -309,5 +332,5 @@ def train(
     from ..io.checkpoint import save_params
 
     save_params(os.path.join(out_dir, "params_final"),
-                jax.device_get(state.params))
+                fetch_global(state.params))
     return state

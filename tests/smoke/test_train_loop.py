@@ -87,3 +87,59 @@ def test_stage_handoff(tmp_path):
     s2 = train(_cfg(stage2=True), out_dir=out2, max_steps=1, log_every=1,
                ckpt_every=1, init_params=params)
     assert int(np.asarray(s2.step)) == 1
+
+
+def test_crash_resume_after_sigkill(tmp_path):
+    """Preemption robustness (SURVEY.md §5 — the reference has no recovery
+    beyond manual resume_ckpt): SIGKILL a training process mid-run with
+    per-step async Orbax saves in flight, then restart. The restart must
+    auto-resume from the last COMPLETE checkpoint step (partially-written
+    step dirs from the killed async save must not be picked up) and train
+    to completion."""
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    import yaml
+
+    repo = Path(__file__).resolve().parents[2]
+    cfg = _cfg()
+    cfg["max_steps"] = 50
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "run"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    p = subprocess.Popen(
+        [sys.executable, str(repo / "train.py"), "--config", str(cfg_path),
+         "--out-dir", str(out), "--max-steps", "50", "--log-every", "1",
+         "--ckpt-every", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=repo)
+    try:
+        mfile = out / "metrics.jsonl"
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if mfile.exists() and sum(1 for _ in open(mfile)) >= 3:
+                break
+            assert p.poll() is None, p.communicate()[0].decode()[-3000:]
+            time.sleep(0.5)
+        else:
+            raise AssertionError("no training progress before deadline")
+    finally:
+        p.kill()
+        p.wait()
+
+    r = subprocess.run(
+        [sys.executable, str(repo / "train.py"), "--config", str(cfg_path),
+         "--out-dir", str(out), "--max-steps", "30", "--log-every", "1",
+         "--ckpt-every", "5"],
+        capture_output=True, env=env, cwd=repo, timeout=900)
+    log = r.stdout.decode()
+    assert r.returncode == 0, log[-3000:] + r.stderr.decode()[-2000:]
+    assert "resumed from step" in log
+    rows = [json.loads(l) for l in open(mfile)]
+    steps = [r2["step"] for r2 in rows if r2["prefix"] == "train"]
+    assert max(steps) == 30
+    assert all(np.isfinite(r2["loss"]) for r2 in rows
+               if r2["prefix"] == "train")

@@ -61,6 +61,23 @@ def _gather(data, idx):
     return jax.tree.map(lambda v: v[idx], data)
 
 
+def index_stream(n: int, batch_size: int, shuffle: bool = True,
+                 seed: int = 0) -> Iterator[np.ndarray]:
+    """Infinite epoch stream of (batch_size,) index vectors (drop-last).
+
+    The single source of batch-order truth for the device-resident paths:
+    `device_stream` and the loop's multi-step (steps_per_dispatch) path both
+    draw from it, so a K-step scan consumes exactly the batches a 1-step
+    loop would."""
+    rng = np.random.RandomState(seed)
+    while True:
+        order = np.arange(n)
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, n - batch_size + 1, batch_size):
+            yield order[i: i + batch_size]
+
+
 def device_stream(ds, batch_size: int, mesh, transfer: str = "float32",
                   shuffle: bool = True, seed: int = 0,
                   ) -> Iterator[Dict[str, jnp.ndarray]]:
@@ -75,19 +92,13 @@ def device_stream(ds, batch_size: int, mesh, transfer: str = "float32",
     data = precollate(ds, transfer=transfer)
     present = {k: v for k, v in data.items() if v is not None}
     absent = [k for k, v in data.items() if v is None]
-    n = len(ds)
-    rng = np.random.RandomState(seed)
+    idx_gen = index_stream(len(ds), batch_size, shuffle=shuffle, seed=seed)
 
     def gen():
-        while True:
-            order = np.arange(n)
-            if shuffle:
-                rng.shuffle(order)
-            for i in range(0, n - batch_size + 1, batch_size):
-                idx = jnp.asarray(order[i: i + batch_size])
-                batch = dict(_gather(present, idx))
-                for k in absent:
-                    batch[k] = None
-                yield shard_batch(batch, mesh)
+        for order in idx_gen:
+            batch = dict(_gather(present, jnp.asarray(order)))
+            for k in absent:
+                batch[k] = None
+            yield shard_batch(batch, mesh)
 
     return gen()

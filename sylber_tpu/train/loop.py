@@ -204,7 +204,35 @@ def train(
             print("multi-process run: device_resident data disabled, "
                   "using the host-streamed prefetch path")
         device_resident = False
-    if device_resident:
+    # steps_per_dispatch (K): fold K training steps into ONE jitted
+    # lax.scan program. Per-step host work (index upload, dispatch, Python
+    # bookkeeping) drops to 1/K, which matters wherever dispatch latency is
+    # visible — the axon tunnel's ~27 ms RTT most of all, but also plain
+    # host-loop overhead on real pods. Requires device-resident data (the
+    # scan gathers each step's batch in-graph) and identical math: batch
+    # order comes from the same index_stream and the per-step key is
+    # fold_in(rng, state.step), exactly the host loop's key schedule.
+    spd = int(cfg.get("steps_per_dispatch", 1))
+    if spd > 1 and (not device_resident or profile_steps):
+        if is_main:
+            print("steps_per_dispatch > 1 needs device-resident data and no "
+                  "profile hooks; falling back to 1")
+        spd = 1
+
+    stream = _present = _absent = idx_gen = None
+    if device_resident and spd > 1:
+        from ..data.device import index_stream, precollate
+
+        if len(train_ds) < batch_size:
+            raise ValueError(
+                f"dataset has {len(train_ds)} items < batch_size "
+                f"{batch_size}; the drop-last epoch loop would yield none")
+        _data = precollate(train_ds, transfer=transfer)
+        _present = {k: v for k, v in _data.items() if v is not None}
+        _absent = [k for k, v in _data.items() if v is None]
+        idx_gen = index_stream(len(train_ds), batch_size, shuffle=True,
+                               seed=data_seed)
+    elif device_resident:
         from ..data.device import device_stream
 
         stream = device_stream(train_ds, batch_size, mesh, transfer=transfer,
@@ -229,42 +257,113 @@ def train(
         donatable = (jax.default_backend() != "cpu"
                      and "axon" not in version)
     donate = (0,) if donatable else ()
-    step_fn = jax.jit(make_train_step(dcfg), donate_argnums=donate)
+    raw_step = make_train_step(dcfg)
+    step_fn = jax.jit(raw_step, donate_argnums=donate)
     eval_fn = jax.jit(make_eval_step(dcfg))
+
+    multi_fn = None
+    if spd > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        specs = {k: NamedSharding(mesh, P("dp", *[None] * (v.ndim - 1)))
+                 for k, v in _present.items()}
+
+        # data/_present are ARGUMENTS, not closure constants: the axon
+        # tunnel rejects programs with multi-MB constants baked into the
+        # HLO (HTTP 413), and arguments let XLA keep one resident copy.
+        def _multi(st, rng_key, idx_kb, data):
+            def body(s, idx_b):
+                b = {k: jax.lax.with_sharding_constraint(v[idx_b], specs[k])
+                     for k, v in data.items()}
+                for k in _absent:
+                    b[k] = None
+                # same key schedule as the host loop: fold_in(rng, step)
+                return raw_step(s, b, jax.random.fold_in(rng_key, s.step))
+
+            return jax.lax.scan(body, st, idx_kb)
+
+        multi_fn = jax.jit(_multi, donate_argnums=donate)
+
+    from ..utils.profiling import hubert_train_flops, mfu
+
+    def _log_row(s_end, m, crop_len):
+        nonlocal t_last, s_last
+        now = time.perf_counter()
+        m["steps_per_sec"] = (s_end - s_last) / (now - t_last)
+        m["mfu"] = mfu(
+            hubert_train_flops(dcfg.model, batch_size, crop_len),
+            1.0 / max(m["steps_per_sec"], 1e-9),
+            jax.devices()[0].device_kind, dp)
+        t_last, s_last = now, s_end
+        if is_main:
+            row = logger.log(s_end, m)
+            print(f"step {s_end}: " + " ".join(
+                f"{k}={v:.4g}" for k, v in row.items()
+                if k not in ("time", "prefix")))
 
     t_last, s_last = time.perf_counter(), start
     val_ds = None
     with jax.set_mesh(mesh):
-        for step_i in range(start, max_steps):
-            batch = next(stream)  # already device-resident (prefetch)
-            # per-step key derived from the step index, so a resumed run at
-            # step S uses the same key stream as an uninterrupted run
-            # (sequential splits would replay keys 0..N-S after restore)
-            krng = jax.random.fold_in(rng, step_i)
-            if profile_steps and step_i == profile_steps[0]:
-                jax.profiler.start_trace(os.path.join(out_dir, "profile"))
-            state, metrics = step_fn(state, batch, replicated(krng, mesh))
-            if profile_steps and step_i == profile_steps[1]:
-                jax.profiler.stop_trace()
+        step_i = start
+        while step_i < max_steps:
+            if multi_fn is not None and step_i + spd <= max_steps:
+                idx = np.stack([next(idx_gen) for _ in range(spd)])
+                state, ms = multi_fn(state, replicated(rng, mesh),
+                                     jnp.asarray(idx), _present)
+                s_end = step_i + spd
+                logged = [s for s in range(step_i + 1, s_end + 1)
+                          if s % log_every == 0]
+                if logged:
+                    mh = fetch_replicated(ms)  # (spd,)-stacked metrics
+                    # one wall-clock rate for the whole dispatch window —
+                    # sub-window timings would be fiction (the K steps
+                    # complete in one program)
+                    now = time.perf_counter()
+                    sps = (s_end - s_last) / (now - t_last)
+                    crop = _present["input_values"].shape[-1]
+                    for s in logged:
+                        m = {k: v[s - step_i - 1] for k, v in mh.items()}
+                        m["steps_per_sec"] = sps
+                        m["mfu"] = mfu(
+                            hubert_train_flops(dcfg.model, batch_size, crop),
+                            1.0 / max(sps, 1e-9),
+                            jax.devices()[0].device_kind, dp)
+                        if is_main:
+                            row = logger.log(s, m)
+                            print(f"step {s}: " + " ".join(
+                                f"{k}={v:.4g}" for k, v in row.items()
+                                if k not in ("time", "prefix")))
+                    t_last, s_last = now, s_end
+            else:
+                if stream is not None:
+                    batch = next(stream)  # device-resident (prefetch)
+                else:
+                    # spd remainder steps reuse the resident data 1 step
+                    # at a time (no extra K-step compile for the tail)
+                    from ..data.device import _gather
 
-            if (step_i + 1) % log_every == 0:
-                m = fetch_replicated(metrics)
-                now = time.perf_counter()
-                m["steps_per_sec"] = (step_i + 1 - s_last) / (now - t_last)
-                from ..utils.profiling import hubert_train_flops, mfu
+                    b = dict(_gather(_present, jnp.asarray(next(idx_gen))))
+                    for k in _absent:
+                        b[k] = None
+                    batch = shard_batch(b, mesh)
+                # per-step key derived from the step index, so a resumed
+                # run at step S uses the same key stream as an
+                # uninterrupted run (sequential splits would replay keys
+                # 0..N-S after restore)
+                krng = jax.random.fold_in(rng, step_i)
+                if profile_steps and step_i == profile_steps[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(out_dir, "profile"))
+                state, metrics = step_fn(state, batch,
+                                         replicated(krng, mesh))
+                if profile_steps and step_i == profile_steps[1]:
+                    jax.profiler.stop_trace()
+                s_end = step_i + 1
+                if s_end % log_every == 0:
+                    _log_row(s_end, fetch_replicated(metrics),
+                             batch["input_values"].shape[-1])
 
-                m["mfu"] = mfu(
-                    hubert_train_flops(dcfg.model, batch_size,
-                                       batch["input_values"].shape[-1]),
-                    1.0 / max(m["steps_per_sec"], 1e-9),
-                    jax.devices()[0].device_kind, dp)
-                t_last, s_last = now, step_i + 1
-                if is_main:
-                    row = logger.log(step_i + 1, m)
-                    print(f"step {step_i + 1}: " + " ".join(
-                        f"{k}={v:.4g}" for k, v in row.items()
-                        if k not in ("time", "prefix")))
-            if (step_i + 1) % 50 == 0:
+            if step_i // 50 != s_end // 50:
                 # Per-step host garbage forms reference cycles holding the
                 # multi-MB batch buffers; Python's allocation-count GC
                 # thresholds almost never trigger on few-but-huge objects, so
@@ -274,16 +373,18 @@ def train(
                 # flat (measured: +5.8 MB/step without, flat with).
                 # ~3 ms per call, amortized over 50 steps.
                 gc.collect()
-            if mgr.should_save(step_i + 1):
+            if mgr.should_save(s_end):
                 # multi-process: hand Orbax the global (possibly sharded)
                 # arrays — it coordinates the distributed write; fetching
                 # to host first would both break (non-addressable) and
                 # serialize the save through one host.
-                mgr.save(step_i + 1,
+                mgr.save(s_end,
                          jax.device_get(state) if jax.process_count() == 1
                          else state)
 
-            if val_every and (step_i + 1) % val_every == 0:
+            run_val = val_every and (step_i // val_every != s_end // val_every)
+            step_i = s_end
+            if run_val:
                 val_bs = data_cfg.get("val_batch_size") or batch_size
                 val_bs -= val_bs % dp or 0
                 val_bs = max(val_bs, dp)
@@ -320,7 +421,7 @@ def train(
                                  replicated(jax.random.PRNGKey(vb), mesh))
                     losses.append(float(fetch_replicated(vm["loss"])))
                 if losses and is_main:
-                    logger.log(step_i + 1, {"loss": float(np.mean(losses))},
+                    logger.log(step_i, {"loss": float(np.mean(losses))},
                                prefix="val")
                     print(f"  val loss: {np.mean(losses):.4f}")
 

@@ -108,8 +108,8 @@ def main():
         report[f"rtfx_bf16_{int(sec)}s"] = round(audio_s / t_bf16, 1)
         report[f"rtfx_int8_{int(sec)}s"] = round(audio_s / t_int8, 1)
         report[f"speedup_{int(sec)}s"] = round(t_bf16 / t_int8, 3)
-        print(json.dumps({k: report[k] for k in report if str(int(sec))
-                          in k}), file=sys.stderr)
+        print(json.dumps({k: report[k] for k in report
+                          if k.endswith(f"_{int(sec)}s")}), file=sys.stderr)
 
     # decision-agreement gate vs the exact fp32 program (one batch/bucket)
     if params is not None:

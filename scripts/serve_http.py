@@ -58,7 +58,6 @@ def wav_bytes(pcm: np.ndarray, sr: int = 16000) -> bytes:
     """float32 (-1,1) -> RIFF/WAV int16 bytes (stdlib; no scipy needed at
     serving time)."""
     import io
-    import struct
     import wave
 
     buf = io.BytesIO()
@@ -66,8 +65,9 @@ def wav_bytes(pcm: np.ndarray, sr: int = 16000) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sr)
-        data = np.clip(pcm * 32767.0, -32768, 32767).astype("<i2")
-        w.writeframes(struct.pack(f"<{len(data)}h", *data.tolist()))
+        # '<i2' bytes ARE the WAV payload; no per-sample Python packing
+        w.writeframes(np.clip(pcm * 32767.0, -32768, 32767)
+                      .astype("<i2").tobytes())
     return buf.getvalue()
 
 
@@ -83,6 +83,7 @@ def build_handler(server, quantizer=None, synth=None, vocoder=None,
 
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
+            self._responded = True
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -112,6 +113,7 @@ def build_handler(server, quantizer=None, synth=None, vocoder=None,
 
             url = urlparse(self.path)
             q = parse_qs(url.query)
+            self._responded = False
             try:
                 if url.path == "/segment":
                     self._segment(q)
@@ -121,8 +123,16 @@ def build_handler(server, quantizer=None, synth=None, vocoder=None,
                     self._resynthesize(q)
                 else:
                     self._json(404, {"error": "not found"})
+            except (BrokenPipeError, ConnectionError):
+                pass  # client went away; nothing sane to send
             except Exception as e:  # per-request isolation
-                self._json(400, {"error": str(e)})
+                if self._responded:
+                    # headers/body already on the wire — a second status
+                    # line would corrupt the stream; drop the connection
+                    self.close_connection = True
+                    return
+                code = 400 if isinstance(e, (ValueError, KeyError)) else 500
+                self._json(code, {"error": str(e)})
 
         def _segment_kw(self, q):
             kw = {}
@@ -150,8 +160,18 @@ def build_handler(server, quantizer=None, synth=None, vocoder=None,
 
             out = server.segment(self._read_wav(), **self._segment_kw(q))
             feats = np.asarray(out["segment_features"])
-            tokens = (np.asarray(quantizer.get_indices(jnp.asarray(feats)))
-                      if len(feats) else np.zeros((0,), np.int32))
+            if len(feats):
+                # pad the segment count to a power-of-two bucket: every
+                # distinct K would otherwise compile a fresh argmin program
+                # on the request path (seconds-to-minutes over the tunnel)
+                k = len(feats)
+                kpad = max(8, 1 << (k - 1).bit_length())
+                fp = np.zeros((kpad, feats.shape[1]), feats.dtype)
+                fp[:k] = feats
+                tokens = np.asarray(
+                    quantizer.get_indices(jnp.asarray(fp)))[:k]
+            else:
+                tokens = np.zeros((0,), np.int32)
             segs = np.asarray(out["segments"])
             in_second = self._segment_kw(q).get("in_second", True)
             scale = 50.0 if in_second else 1.0
@@ -188,6 +208,7 @@ def build_handler(server, quantizer=None, synth=None, vocoder=None,
                                              vocoder=vocoder)[0]
             if want_audio:
                 body = wav_bytes(np.asarray(out))
+                self._responded = True
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))

@@ -112,10 +112,15 @@ class TrainCheckpointManager:
         drop the save."""
         return bool(self._mgr.should_save(step))
 
-    def save(self, step: int, state: Any) -> None:
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        """``force=True`` bypasses the save-interval policy — needed by the
+        train loop's interval-CROSSING semantics (steps_per_dispatch > 1 and
+        non-aligned resumes produce step numbers that are never exact
+        multiples of the interval; Orbax's FixedIntervalPolicy would skip
+        them all)."""
         import orbax.checkpoint as ocp
 
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         import orbax.checkpoint as ocp

@@ -117,7 +117,11 @@ class LongFormSegmenter:
                                   merge_threshold=merge_threshold)
 
         mode = True if return_hidden else "device"
-        if self.transfer == "int16" and self.segmenter.mesh is None:
+        # the resident path serves the fast no-hidden contract only: with
+        # return_hidden=True the output hidden_states are a reference-parity
+        # surface and must come from unquantized float windows
+        if (self.transfer == "int16" and not return_hidden
+                and self.segmenter.mesh is None):
             results = self._run_resident(wav, starts, mode,
                                          norm_threshold, merge_threshold)
         else:
@@ -194,7 +198,13 @@ class LongFormSegmenter:
     def _run_resident(self, wav, starts, mode, norm_threshold,
                       merge_threshold) -> List[Dict]:
         """Upload once (peak-scaled int16), gather windows in-graph,
-        dispatch every batch before fetching any result."""
+        dispatch every batch before fetching any result.
+
+        The output-dict assembly below mirrors ``Segmenter.process``
+        (api.py) — segments/segment_features/frame_norms contract and the
+        sliced-prefix (max_k) fetch; changes to either must keep the other
+        in lock-step (the resident-vs-float32 agreement test catches
+        drift)."""
         import jax.numpy as jnp
 
         seg = self.segmenter

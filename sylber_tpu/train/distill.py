@@ -286,6 +286,11 @@ def distill_loss(
 
 def make_train_step(cfg: DistillConfig):
     """Returns a jittable ``(state, batch, rng) -> (state, metrics)``."""
+    # int8_dense rounds through jnp.round (zero gradient) with no
+    # straight-through estimator — training over it silently produces
+    # near-zero updates for every projection. Serving-only knob.
+    assert not cfg.model.int8_encoder, \
+        "int8_encoder is an inference/serving mode (no STE); train in bf16"
     optimizer = make_optimizer(cfg)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):

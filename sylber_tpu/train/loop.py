@@ -286,15 +286,21 @@ def train(
 
     from ..utils.profiling import hubert_train_flops, mfu
 
-    def _log_row(s_end, m, crop_len):
+    def _log_row(s_end, m, crop_len, steps_per_sec=None):
+        """``steps_per_sec=None`` measures since the last log; the
+        multi-dispatch path passes the window-level rate instead (per-row
+        sub-window timings inside one scan program would be fiction) and
+        advances the bookkeeping itself."""
         nonlocal t_last, s_last
-        now = time.perf_counter()
-        m["steps_per_sec"] = (s_end - s_last) / (now - t_last)
+        if steps_per_sec is None:
+            now = time.perf_counter()
+            steps_per_sec = (s_end - s_last) / (now - t_last)
+            t_last, s_last = now, s_end
+        m["steps_per_sec"] = steps_per_sec
         m["mfu"] = mfu(
             hubert_train_flops(dcfg.model, batch_size, crop_len),
-            1.0 / max(m["steps_per_sec"], 1e-9),
+            1.0 / max(steps_per_sec, 1e-9),
             jax.devices()[0].device_kind, dp)
-        t_last, s_last = now, s_end
         if is_main:
             row = logger.log(s_end, m)
             print(f"step {s_end}: " + " ".join(
@@ -315,24 +321,13 @@ def train(
                           if s % log_every == 0]
                 if logged:
                     mh = fetch_replicated(ms)  # (spd,)-stacked metrics
-                    # one wall-clock rate for the whole dispatch window —
-                    # sub-window timings would be fiction (the K steps
-                    # complete in one program)
                     now = time.perf_counter()
                     sps = (s_end - s_last) / (now - t_last)
                     crop = _present["input_values"].shape[-1]
                     for s in logged:
-                        m = {k: v[s - step_i - 1] for k, v in mh.items()}
-                        m["steps_per_sec"] = sps
-                        m["mfu"] = mfu(
-                            hubert_train_flops(dcfg.model, batch_size, crop),
-                            1.0 / max(sps, 1e-9),
-                            jax.devices()[0].device_kind, dp)
-                        if is_main:
-                            row = logger.log(s, m)
-                            print(f"step {s}: " + " ".join(
-                                f"{k}={v:.4g}" for k, v in row.items()
-                                if k not in ("time", "prefix")))
+                        _log_row(s, {k: v[s - step_i - 1]
+                                     for k, v in mh.items()},
+                                 crop, steps_per_sec=sps)
                     t_last, s_last = now, s_end
             else:
                 if stream is not None:
@@ -373,14 +368,19 @@ def train(
                 # flat (measured: +5.8 MB/step without, flat with).
                 # ~3 ms per call, amortized over 50 steps.
                 gc.collect()
-            if mgr.should_save(s_end):
+            # interval-CROSSING save semantics, not exact-modulo: with
+            # steps_per_dispatch > 1 (or resume from a non-aligned step)
+            # s_end may never hit an exact multiple of ckpt_every, and
+            # Orbax's FixedIntervalPolicy would then silently never save
+            # again — force the save whenever the window crossed a boundary.
+            if ckpt_every and step_i // ckpt_every != s_end // ckpt_every:
                 # multi-process: hand Orbax the global (possibly sharded)
                 # arrays — it coordinates the distributed write; fetching
                 # to host first would both break (non-addressable) and
                 # serialize the save through one host.
                 mgr.save(s_end,
                          jax.device_get(state) if jax.process_count() == 1
-                         else state)
+                         else state, force=True)
 
             run_val = val_every and (step_i // val_every != s_end // val_every)
             step_i = s_end

@@ -57,14 +57,27 @@ def test_multi_step_dispatch_matches_single_step(tmp_path):
 
 def test_multi_step_remainder_and_resume(tmp_path):
     """max_steps=7 with K=3: two scan dispatches + one single-step
-    remainder; then resume to 10 (restored step 7 is not K-aligned)."""
+    remainder; then resume (restored step is not K-aligned). Checkpoints
+    must fire on interval CROSSINGS even though dispatch-boundary steps
+    never hit exact multiples of ckpt_every (K=3 vs interval 2: boundaries
+    3, 6, 7, 10 — the old exact-modulo policy would save only at 6 and
+    silently stop after a non-aligned resume)."""
+    import os
+
     from sylber_tpu.train.loop import train
 
     d = str(tmp_path / "s7")
-    s = train(_cfg(3), out_dir=d, max_steps=7, log_every=1, ckpt_every=7)
+    s = train(_cfg(3), out_dir=d, max_steps=7, log_every=1, ckpt_every=2)
     assert int(np.asarray(s.step)) == 7
-    s2 = train(_cfg(3), out_dir=d, max_steps=10, log_every=1, ckpt_every=7)
+    saved = sorted(int(x) for x in os.listdir(d + "/ckpts")
+                   if x.isdigit())
+    assert 3 in saved and 6 in saved, saved  # crossing semantics
+    s2 = train(_cfg(3), out_dir=d, max_steps=10, log_every=1, ckpt_every=2)
     assert int(np.asarray(s2.step)) == 10
+    saved2 = sorted(int(x) for x in os.listdir(d + "/ckpts")
+                    if x.isdigit())
+    assert 10 in saved2, saved2  # saves keep firing after resume
     losses = _losses(d)
+    # resumed from the latest complete ckpt (6): steps 7..10 re-logged
     assert set(losses) == set(range(1, 11))
     assert np.isfinite(list(losses.values())).all()

@@ -138,9 +138,14 @@ def test_longform_api_smoke():
         assert (segs[1:, 0] >= segs[:-1, 1]).all()
         assert len(out["segment_features"]) == len(segs)
 
-    # fast path: same segments, same features, no hidden track
-    fast = lf(wav=wav, in_second=False, norm_threshold=1.0,
-              merge_threshold=0.9, return_hidden=False)
+    # fast path in float32 parity mode: same segments, same features, no
+    # hidden track. (The DEFAULT fast path is the device-resident int16
+    # route — deliberately not bit-exact vs float32 windows; its agreement
+    # gate is test_resident_int16_path_matches_float32_path.)
+    lf32 = LongFormSegmenter(seg, chunk_seconds=5.0, overlap_seconds=1.0,
+                             batch_windows=2, transfer="float32")
+    fast = lf32(wav=wav, in_second=False, norm_threshold=1.0,
+                merge_threshold=0.9, return_hidden=False)
     assert "hidden_states" not in fast
     np.testing.assert_array_equal(fast["segments"], segs)
     np.testing.assert_allclose(fast["segment_features"],

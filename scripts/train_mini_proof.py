@@ -195,6 +195,9 @@ def main():
                             steps=args.stage1_steps, hub_dict=hub_dict),
         "data": _data_cfg(args.n_utts, False, args.batch_size),
         "max_steps": args.stage1_steps,
+        # K steps per dispatch: identical math (f32 + threefry here; the
+        # loop tests pin loss/param equality), ~1/K the host/dispatch work
+        "steps_per_dispatch": 8,
     }
     out1 = os.path.join(args.out_dir, "stage1")
     train(cfg1, out_dir=out1, max_steps=args.stage1_steps, log_every=100,
@@ -217,6 +220,7 @@ def main():
                             hub_dict=hub_dict),
         "data": _data_cfg(args.n_utts, True, args.batch_size),
         "max_steps": args.stage2_steps,
+        "steps_per_dispatch": 8,
     }
     out2 = os.path.join(args.out_dir, "stage2")
     state = train(cfg2, out_dir=out2, max_steps=args.stage2_steps,

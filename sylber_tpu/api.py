@@ -192,6 +192,28 @@ class Segmenter:
         ``[:, :max(num_segments)]`` — for long windows this is ~10x fewer
         bytes than the full (B, MAX_SEGS, d) buffer. Outputs always include
         ``frame_norms`` (cheap, (T,) per item)."""
+        return self.process_async(wavs, in_second=in_second,
+                                  norm_threshold=norm_threshold,
+                                  merge_threshold=merge_threshold,
+                                  return_hidden=return_hidden)()
+
+    def process_async(
+        self,
+        wavs: List[np.ndarray],
+        in_second: bool = True,
+        norm_threshold: Optional[float] = None,
+        merge_threshold: Optional[float] = None,
+        return_hidden=True,
+    ):
+        """Upload + dispatch the fused program and return a zero-arg
+        ``finalize()`` producing exactly what :meth:`process` returns.
+
+        Splitting dispatch from fetch lets a serving layer overlap batch
+        N's host-side result fetch with batch N+1's upload + dispatch
+        (serve.py runs finalize on a separate thread): over the axon
+        tunnel the fetch chain is several serial ~27 ms round-trips and
+        dominates per-batch latency. Oversize inputs split into
+        biggest-bucket sub-batches, ALL dispatched before any fetch."""
         nt = self.norm_threshold if norm_threshold is None else float(norm_threshold)
         mt = self.merge_threshold if merge_threshold is None else float(merge_threshold)
 
@@ -200,13 +222,13 @@ class Segmenter:
         max_len = _round_up(max(max(lengths), 400), self.length_bucket)
         bsz = next((b for b in self.batch_buckets if b >= n), None)
         if bsz is None:
-            # split oversize batches into the largest bucket
             big = self.batch_buckets[-1]
-            out: List[Dict[str, np.ndarray]] = []
-            for i in range(0, n, big):
-                out.extend(self.process(wavs[i:i + big], in_second, nt, mt,
-                                        return_hidden))
-            return out
+            fins = [
+                self.process_async(wavs[i:i + big], in_second, nt, mt,
+                                   return_hidden)
+                for i in range(0, n, big)
+            ]
+            return lambda: [o for f in fins for o in f()]
 
         batch = np.zeros((bsz, max_len), np.float32)
         mask = np.zeros((bsz, max_len), np.int32)
@@ -222,27 +244,43 @@ class Segmenter:
             self.params, batch_dev, mask_dev,
             jnp.float32(nt), jnp.float32(mt),
         )
-        nseg = np.asarray(res.num_segments)
-        max_k = max(int(nseg.max()), 1)
-        segs = np.asarray(res.segments[:, :max_k])
-        feats = np.asarray(res.features[:, :max_k])
-        norms = np.asarray(res.norms)
-        hidden_host = np.asarray(hidden) if return_hidden is True else None
+        # overlap the small D2H copies: each blocking np.asarray over the
+        # axon tunnel costs a serial ~27 ms round-trip, and the serving path
+        # pays this per batch. num_segments/segments/norms are tiny
+        # ((B, L+1, 2) int32 is ~50 KB) — start them all async, then block.
+        # Only `features` (B, L+1, 768) f32 is big enough to need the
+        # data-dependent sliced-prefix fetch (measured ~10x fewer bytes).
+        small = [res.num_segments, res.segments, res.norms]
+        if return_hidden is True:
+            small.append(hidden)
+        for a in small:
+            a.copy_to_host_async()
 
-        outputs = []
-        for i in range(n):
-            k = int(nseg[i])
-            seg_i = segs[i, :k].astype(np.int64)
-            t_valid = self.config.feat_extract_output_length(lengths[i])
-            out = {
-                "segments": seg_i / FRAME_RATE if in_second else seg_i,
-                "segment_features": feats[i, :k].copy() if k else np.array([]),
-                "frame_norms": norms[i, :t_valid],
-            }
-            if return_hidden is True:
-                out["hidden_states"] = hidden_host[i, :t_valid]
-            elif return_hidden == "device":
-                out["hidden_states_device"] = hidden[i]
-                out["num_frames"] = t_valid
-            outputs.append(out)
-        return outputs
+        def finalize() -> List[Dict[str, np.ndarray]]:
+            nseg = np.asarray(res.num_segments)
+            max_k = max(int(nseg.max()), 1)
+            feats = np.asarray(res.features[:, :max_k])
+            segs = np.asarray(res.segments)[:, :max_k]
+            norms = np.asarray(res.norms)
+            hidden_host = np.asarray(hidden) if return_hidden is True else None
+
+            outputs = []
+            for i in range(n):
+                k = int(nseg[i])
+                seg_i = segs[i, :k].astype(np.int64)
+                t_valid = self.config.feat_extract_output_length(lengths[i])
+                out = {
+                    "segments": seg_i / FRAME_RATE if in_second else seg_i,
+                    "segment_features": feats[i, :k].copy() if k
+                    else np.array([]),
+                    "frame_norms": norms[i, :t_valid],
+                }
+                if return_hidden is True:
+                    out["hidden_states"] = hidden_host[i, :t_valid]
+                elif return_hidden == "device":
+                    out["hidden_states_device"] = hidden[i]
+                    out["num_frames"] = t_valid
+                outputs.append(out)
+            return outputs
+
+        return finalize

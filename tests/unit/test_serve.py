@@ -212,3 +212,35 @@ def test_in_second_toggle(seg):
     if len(sec["segments"]):
         np.testing.assert_allclose(np.asarray(sec["segments"]) * 50.0,
                                    np.asarray(frames["segments"]), atol=1e-6)
+
+
+def test_pipelined_mode_routes_exactly():
+    """pipeline_depth > 0 (opt-in: measured slower over the serialized
+    axon tunnel, genuine overlap on real hosts) must preserve exact
+    request->result routing, stats, and failure isolation."""
+    fake = FakeSegmenter(delay_s=0.005)
+    rng = np.random.RandomState(5)
+    wavs = wavs_for(24, rng)
+    with SegmenterServer(fake, max_batch=8, max_wait_ms=20.0,
+                         pipeline_depth=2) as srv:
+        futs = [srv.submit(w, norm_threshold=2.5) for w in wavs]
+        outs = [f.result(timeout=60) for f in futs]
+        st = srv.stats()
+    for w, o in zip(wavs, outs):
+        np.testing.assert_allclose(
+            o["segment_features"][0],
+            [w.sum(), len(w), 2.5, -1.0], rtol=1e-6)
+    assert st.completed == len(wavs)
+
+    # failure isolation still per-batch through the finalizer thread
+    bad = FakeSegmenter(fail_on=7777)
+    with SegmenterServer(bad, max_batch=4, max_wait_ms=5.0,
+                         pipeline_depth=1) as srv:
+        ok = srv.submit(np.ones(5000, np.float32))
+        assert ok.result(timeout=60)["segments"] is not None  # own batch
+        boom = srv.submit(np.ones(7777, np.float32))
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            boom.result(timeout=60)
+        ok2 = srv.submit(np.ones(5000, np.float32))  # keeps serving
+        assert ok2.result(timeout=60)["segments"] is not None

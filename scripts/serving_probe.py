@@ -75,7 +75,7 @@ def main() -> None:
 
     lat, lock = [], threading.Lock()
     audio_total = [0.0]
-    reqs_per_client = n_reqs // n_clients
+    reqs_per_client = max(1, round(n_reqs / n_clients))
 
     def client(cid: int, record: bool) -> None:
         r = np.random.RandomState(cid)

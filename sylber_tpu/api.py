@@ -213,7 +213,10 @@ class Segmenter:
         (serve.py runs finalize on a separate thread): over the axon
         tunnel the fetch chain is several serial ~27 ms round-trips and
         dominates per-batch latency. Oversize inputs split into
-        biggest-bucket sub-batches, ALL dispatched before any fetch."""
+        biggest-bucket sub-batches and STREAM at finalize time with at
+        most 2 sub-batches in flight — each sub-batch pins its (B, L, 768)
+        output buffers until finalized, so dispatching a corpus-scale list
+        all at once would exhaust HBM."""
         nt = self.norm_threshold if norm_threshold is None else float(norm_threshold)
         mt = self.merge_threshold if merge_threshold is None else float(merge_threshold)
 
@@ -223,12 +226,20 @@ class Segmenter:
         bsz = next((b for b in self.batch_buckets if b >= n), None)
         if bsz is None:
             big = self.batch_buckets[-1]
-            fins = [
-                self.process_async(wavs[i:i + big], in_second, nt, mt,
-                                   return_hidden)
-                for i in range(0, n, big)
-            ]
-            return lambda: [o for f in fins for o in f()]
+
+            def finalize_all() -> List[Dict[str, np.ndarray]]:
+                outs: List[Dict[str, np.ndarray]] = []
+                prev = None
+                for i in range(0, n, big):
+                    cur = self.process_async(wavs[i:i + big], in_second,
+                                             nt, mt, return_hidden)
+                    if prev is not None:
+                        outs.extend(prev())
+                    prev = cur
+                outs.extend(prev())
+                return outs
+
+            return finalize_all
 
         batch = np.zeros((bsz, max_len), np.float32)
         mask = np.zeros((bsz, max_len), np.int32)

@@ -204,8 +204,11 @@ class SegmenterServer:
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=timeout)
         if self._finalizer is not None:
-            # after the dispatcher joins, every batch is enqueued
-            self._fq.put(None)
+            # the dispatcher enqueues the finalizer sentinel itself as its
+            # last act (_run), so a timed-out join above cannot let the
+            # sentinel overtake still-to-be-enqueued batches (which would
+            # kill the finalizer early and deadlock the dispatcher on the
+            # bounded queue)
             self._finalizer.join(timeout=timeout)
 
     def __enter__(self) -> "SegmenterServer":
@@ -285,11 +288,17 @@ class SegmenterServer:
         else:
             for r in leftover:
                 r.future.cancel()
+        if self._finalizer is not None:
+            # last act of the dispatcher: every batch is now enqueued, so
+            # the sentinel cannot overtake work (see stop())
+            self._fq.put(None)
 
     def _dispatch(self, batch: List[_Request]) -> None:
         """Upload + launch the program, then hand the (batch, finalize)
-        pair to the finalizer thread. Blocks only when 2 batches are
-        already in flight (pipeline backpressure)."""
+        pair to the finalizer thread (pipeline mode) or finalize inline
+        (default). In pipeline mode up to pipeline_depth batches queue
+        behind the one being finalized — each pins its device output
+        buffers, so depth bounds HBM held by in-flight results."""
         nt, mt, in_second, return_hidden = batch[0].key
         kw = dict(in_second=in_second, norm_threshold=nt,
                   merge_threshold=mt, return_hidden=return_hidden)

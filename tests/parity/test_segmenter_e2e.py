@@ -161,3 +161,30 @@ def test_ultra_short_input(setup):
     assert out["hidden_states"].shape[0] == 0
     assert len(out["segments"]) == 0
     assert len(out["segment_features"]) == 0
+
+
+def test_oversize_batch_streams_and_matches_per_batch(setup):
+    """Inputs larger than the biggest batch bucket must (a) return exactly
+    the per-sub-batch results in order and (b) stream — process_async pins
+    each sub-batch's (B, L, 768) device outputs until finalized, so a
+    corpus-scale call must never dispatch everything before fetching
+    (HBM-linear regression caught by review)."""
+    _, seg_big = setup
+    small = Segmenter(params=seg_big.params, encoding_layer=N_LAYERS,
+                      batch_buckets=(1, 2))
+    rng = np.random.RandomState(11)
+    wavs = [synth_speech(rng, 8000 + 400 * i) for i in range(5)]
+    outs = small.process(wavs, in_second=False, norm_threshold=1.0,
+                         merge_threshold=0.9, return_hidden=False)
+    assert len(outs) == 5
+    # reference: the same sub-batches processed separately
+    ref = []
+    for i in range(0, 5, 2):
+        ref.extend(small.process(wavs[i:i + 2], in_second=False,
+                                 norm_threshold=1.0, merge_threshold=0.9,
+                                 return_hidden=False))
+    for a, b in zip(outs, ref):
+        np.testing.assert_array_equal(a["segments"], b["segments"])
+        np.testing.assert_allclose(a["segment_features"],
+                                   b["segment_features"], rtol=1e-6,
+                                   atol=1e-6)

@@ -239,8 +239,7 @@ def test_pipelined_mode_routes_exactly():
         ok = srv.submit(np.ones(5000, np.float32))
         assert ok.result(timeout=60)["segments"] is not None  # own batch
         boom = srv.submit(np.ones(7777, np.float32))
-        import pytest as _pytest
-        with _pytest.raises(RuntimeError):
+        with pytest.raises(RuntimeError):
             boom.result(timeout=60)
         ok2 = srv.submit(np.ones(5000, np.float32))  # keeps serving
         assert ok2.result(timeout=60)["segments"] is not None

@@ -127,6 +127,9 @@ def main():
     ap.add_argument("--n-utts", type=int, default=256)
     ap.add_argument("--fixture-dir", default="tests/fixtures")
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--save-every", type=int, default=2000,
+                    help="periodic fixture write (0 disables); guards "
+                         "against tunnel wedges on long runs")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -170,6 +173,31 @@ def main():
     d_wavs = jnp.asarray(wavs)
     d_cond = jnp.zeros((args.batch_size, GEN_CFG["cond_channels"]))
 
+    fd = Path(args.fixture_dir)
+    fd.mkdir(parents=True, exist_ok=True)
+
+    def write_fixture(gen_params, step_count):
+        """Eval + write the fixture. Called periodically, not just at the
+        end: the axon tunnel can wedge a long run spontaneously (CLAUDE.md
+        gotcha — a 12k-step run once froze at 10.6k and lost everything),
+        so every --save-every window leaves a usable fixture behind."""
+        from sylber_tpu.io.checkpoint import save_params_npz
+
+        ev = evaluate(gen_apply, gen_params, ho_feats, ho_wavs, mel_cfg)
+        print(f"eval @ {step_count}:", json.dumps(ev), flush=True)
+        save_params_npz(str(fd / "mini_vocoder.npz"),
+                        jax.device_get(gen_params), dtype=np.float16)
+        meta = {"generator": GEN_CFG, "pitch_mean": pitch_mean,
+                "train": {"steps": step_count,
+                          "batch_size": args.batch_size,
+                          "n_utts": args.n_utts},
+                "eval": ev, "eval_random_init": base}
+        (fd / "mini_vocoder.json").write_text(json.dumps(meta, indent=2))
+        print(f"fixture written to {fd}/mini_vocoder.npz "
+              f"({os.path.getsize(fd / 'mini_vocoder.npz') / 1e6:.1f} MB)",
+              flush=True)
+        return ev
+
     rng = np.random.RandomState(1)
     order = np.array([], np.int64)
     t0 = time.perf_counter()
@@ -190,23 +218,12 @@ def main():
                 + f" steps_per_sec={sps:.2f}", flush=True)
         if (step_i + 1) % 50 == 0:
             gc.collect()
+        if args.save_every and (step_i + 1) % args.save_every == 0 \
+                and (step_i + 1) < args.steps:
+            write_fixture(state["gen"], step_i + 1)
 
-    final = evaluate(gen_apply, state["gen"], ho_feats, ho_wavs, mel_cfg)
+    final = write_fixture(state["gen"], args.steps)
     print("final eval:", json.dumps(final))
-
-    fd = Path(args.fixture_dir)
-    fd.mkdir(parents=True, exist_ok=True)
-    from sylber_tpu.io.checkpoint import save_params_npz
-
-    save_params_npz(str(fd / "mini_vocoder.npz"),
-                    jax.device_get(state["gen"]), dtype=np.float16)
-    meta = {"generator": GEN_CFG, "pitch_mean": pitch_mean,
-            "train": {"steps": args.steps, "batch_size": args.batch_size,
-                      "n_utts": args.n_utts},
-            "eval": final, "eval_random_init": base}
-    (fd / "mini_vocoder.json").write_text(json.dumps(meta, indent=2))
-    print(f"fixture written to {fd}/mini_vocoder.npz "
-          f"({os.path.getsize(fd / 'mini_vocoder.npz') / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":

@@ -54,6 +54,10 @@ enable_compilation_cache()  # restarts skip the 30-250 s TPU compiles
 import numpy as np  # noqa: E402
 
 
+class _TooLarge(Exception):
+    """Request body exceeds the configured limit (HTTP 413)."""
+
+
 def wav_bytes(pcm: np.ndarray, sr: int = 16000) -> bytes:
     """float32 (-1,1) -> RIFF/WAV int16 bytes (stdlib; no scipy needed at
     serving time)."""
@@ -72,9 +76,16 @@ def wav_bytes(pcm: np.ndarray, sr: int = 16000) -> bytes:
 
 
 def build_handler(server, quantizer=None, synth=None, vocoder=None,
-                  spk_emb=None, pitch_mean: float = 120.0):
+                  spk_emb=None, pitch_mean: float = 120.0,
+                  max_body_bytes: int = 8 << 20):
     """Handler class over a SegmenterServer plus optional tokenize /
-    resynthesis stacks; factored out so tests drive it with tiny models."""
+    resynthesis stacks; factored out so tests drive it with tiny models.
+
+    ``max_body_bytes`` (default 8 MiB ≈ 4.4 min of int16 PCM) rejects
+    oversized POSTs with 413 BEFORE reading the body — one request can
+    otherwise allocate an arbitrary host buffer and push an arbitrarily long
+    utterance into the batcher (compile storm on a fresh length bucket).
+    Long recordings belong to the longform API, not the serving shim."""
     synth_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -91,18 +102,31 @@ def build_handler(server, quantizer=None, synth=None, vocoder=None,
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._json(200, {"ok": True})
-            elif self.path == "/stats":
-                s = server.stats()
-                self._json(200, {
-                    k: getattr(s, k) for k in s.__dataclass_fields__
-                } | {"mean_batch_size": s.mean_batch_size})
-            else:
-                self._json(404, {"error": "not found"})
+            self._responded = False
+            try:
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True})
+                elif self.path == "/stats":
+                    s = server.stats()
+                    self._json(200, {
+                        k: getattr(s, k) for k in s.__dataclass_fields__
+                    } | {"mean_batch_size": s.mean_batch_size})
+                else:
+                    self._json(404, {"error": "not found"})
+            except (BrokenPipeError, ConnectionError):
+                pass
+            except Exception as e:  # same per-request isolation as do_POST
+                if self._responded:
+                    self.close_connection = True
+                    return
+                self._json(500, {"error": str(e)})
 
         def _read_wav(self) -> np.ndarray:
             n = int(self.headers.get("Content-Length", 0))
+            if n > max_body_bytes:
+                raise _TooLarge(
+                    f"body {n} bytes > limit {max_body_bytes}; use the "
+                    "longform API for long recordings")
             raw = self.rfile.read(n)
             if self.headers.get("X-Dtype", "int16") == "float32":
                 return np.frombuffer(raw, "<f4").astype(np.float32)
@@ -131,8 +155,17 @@ def build_handler(server, quantizer=None, synth=None, vocoder=None,
                     # line would corrupt the stream; drop the connection
                     self.close_connection = True
                     return
-                code = 400 if isinstance(e, (ValueError, KeyError)) else 500
+                if isinstance(e, _TooLarge):
+                    code = 413
+                elif isinstance(e, (ValueError, KeyError)):
+                    code = 400
+                else:
+                    code = 500
                 self._json(code, {"error": str(e)})
+                if isinstance(e, _TooLarge):
+                    # the unread body is still on the socket; don't let
+                    # the server try to parse it as the next request
+                    self.close_connection = True
 
         def _segment_kw(self, q):
             kw = {}
@@ -255,6 +288,10 @@ def main() -> None:
                         "/resynthesize?audio=1")
     p.add_argument("--spk-emb", default=None, help=".npy speaker embedding")
     p.add_argument("--pitch-mean", type=float, default=120.0)
+    p.add_argument("--max-body-bytes", type=int, default=8 << 20,
+                   help="reject larger POST bodies with 413 (default 8 MiB "
+                        "~ 4.4 min int16 PCM); longform recordings belong "
+                        "to sylber_tpu.longform, not the serving shim")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -317,7 +354,8 @@ def main() -> None:
 
     handler = build_handler(server, quantizer=quantizer, synth=synth,
                             vocoder=vocoder, spk_emb=spk,
-                            pitch_mean=args.pitch_mean)
+                            pitch_mean=args.pitch_mean,
+                            max_body_bytes=args.max_body_bytes)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
     try:
         httpd.serve_forever()

@@ -17,7 +17,20 @@ Writes ``tests/fixtures/mini_vocoder.npz`` (fp16 generator params) +
 ``mini_vocoder.json`` (generator config + eval numbers), consumed by
 ``tests/parity/test_mini_vocoder.py`` and ``examples/demo.py --audio-out``.
 
-Usage: python scripts/train_vocoder_proof.py [--steps 4000] [--cpu]
+Session chaining: the axon tunnel wedges deterministically after ~10.5k
+steps in one client (CLAUDE.md gotcha), so long GAN runs are chained:
+``--state-out`` writes the FULL train state (generator + discriminators +
+both Adam states + global step) every ``--save-every`` steps, and
+``--resume-from`` restores it in a fresh client. ``--steps`` counts steps
+for THIS session; the fixture metadata reports the cumulative step.
+
+Usage:
+  python scripts/train_vocoder_proof.py --steps 9500 \
+      --state-out runs/vocoder_proof/state.npz
+  # (wait for clean exit, then in a new client)
+  python scripts/train_vocoder_proof.py --steps 9500 \
+      --resume-from runs/vocoder_proof/state.npz \
+      --state-out runs/vocoder_proof/state.npz
 """
 
 from __future__ import annotations
@@ -120,9 +133,34 @@ def evaluate(gen_apply, gen_params, feats, wavs, mel_cfg):
             "periodicity": float(np.mean(periodicity))}
 
 
+def save_state_npz(path: str, state, step: int) -> None:
+    """Full train state (every pytree leaf, dtype-preserving) + step."""
+    import jax
+
+    leaves = jax.tree.leaves(jax.device_get(state))
+    flat = {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
+    flat["__step__"] = np.asarray(step, np.int64)
+    tmp = str(path) + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_state_npz(path: str, template):
+    """Inverse of save_state_npz; template supplies the treedef."""
+    import jax
+
+    z = np.load(path)
+    treedef = jax.tree.structure(template)
+    n = treedef.num_leaves
+    leaves = [z[f"leaf_{i:05d}"] for i in range(n)]
+    assert len(z.files) == n + 1, (len(z.files), n)
+    return jax.tree.unflatten(treedef, leaves), int(z["__step__"])
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=4000,
+                    help="steps to run in THIS session (chainable)")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--n-utts", type=int, default=256)
     ap.add_argument("--fixture-dir", default="tests/fixtures")
@@ -130,6 +168,17 @@ def main():
     ap.add_argument("--save-every", type=int, default=2000,
                     help="periodic fixture write (0 disables); guards "
                          "against tunnel wedges on long runs")
+    ap.add_argument("--state-out", default="",
+                    help="write the FULL train state here (enables "
+                         "session chaining across tunnel wedges)")
+    ap.add_argument("--resume-from", default="",
+                    help="resume the full train state from a prior "
+                         "--state-out npz")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel mesh size (0 = single device): "
+                         "batches shard over dp, GAN state replicates, "
+                         "GSPMD inserts the gradient psum "
+                         "(parallel/mesh.py)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -159,6 +208,12 @@ def main():
     init_fn, step_fn = make_vocoder_train_step(vcfg)
     state = init_fn(jax.random.PRNGKey(0), t_frames=FRAMES,
                     batch=args.batch_size)
+    step0 = 0
+    if args.resume_from:
+        state, step0 = load_state_npz(args.resume_from, state)
+        state = jax.device_put(state)
+        print(f"resumed full train state from {args.resume_from} "
+              f"@ step {step0}", flush=True)
     step_jit = jax.jit(step_fn)
     gen = Generator(gcfg)
     gen_apply = jax.jit(
@@ -172,6 +227,19 @@ def main():
     d_feats = jnp.asarray(feats)
     d_wavs = jnp.asarray(wavs)
     d_cond = jnp.zeros((args.batch_size, GEN_CFG["cond_channels"]))
+
+    mesh = None
+    if args.dp:
+        from sylber_tpu.parallel.mesh import (make_mesh, replicated,
+                                              shard_batch)
+
+        mesh = make_mesh(dp=args.dp, mp=1)
+        assert args.batch_size % args.dp == 0, (args.batch_size, args.dp)
+        state = jax.tree.map(lambda x: replicated(x, mesh), state)
+        d_feats = replicated(d_feats, mesh)
+        d_wavs = replicated(d_wavs, mesh)
+        d_cond = shard_batch(d_cond, mesh)
+        print(f"mesh: dp={args.dp}")
 
     fd = Path(args.fixture_dir)
     fd.mkdir(parents=True, exist_ok=True)
@@ -198,31 +266,52 @@ def main():
               flush=True)
         return ev
 
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(1 + step0)  # vary batch order across sessions
     order = np.array([], np.int64)
     t0 = time.perf_counter()
     import gc
 
+    def save_state(gstep):
+        if args.state_out:
+            Path(args.state_out).parent.mkdir(parents=True, exist_ok=True)
+            save_state_npz(args.state_out, state, gstep)
+            print(f"train state saved to {args.state_out} @ {gstep}",
+                  flush=True)
+
+    import contextlib
+
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
+    mesh_ctx.__enter__()
     for step_i in range(args.steps):
+        gstep = step0 + step_i + 1
         if len(order) < args.batch_size:
             order = np.arange(args.n_utts)
             rng.shuffle(order)
         idx = jnp.asarray(order[: args.batch_size])
         order = order[args.batch_size:]
-        state, metrics = step_jit(state, d_feats[idx], d_wavs[idx], d_cond)
+        feats_b, wavs_b = d_feats[idx], d_wavs[idx]
+        if mesh is not None:
+            from sylber_tpu.parallel.mesh import shard_batch
+
+            feats_b, wavs_b = shard_batch((feats_b, wavs_b), mesh)
+        state, metrics = step_jit(state, feats_b, wavs_b, d_cond)
         if (step_i + 1) % args.log_every == 0:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             sps = (step_i + 1) / (time.perf_counter() - t0)
-            print(f"step {step_i + 1}: " + " ".join(
+            print(f"step {gstep}: " + " ".join(
                 f"{k}={v:.4g}" for k, v in m.items())
                 + f" steps_per_sec={sps:.2f}", flush=True)
         if (step_i + 1) % 50 == 0:
             gc.collect()
         if args.save_every and (step_i + 1) % args.save_every == 0 \
                 and (step_i + 1) < args.steps:
-            write_fixture(state["gen"], step_i + 1)
+            write_fixture(state["gen"], gstep)
+            save_state(gstep)
 
-    final = write_fixture(state["gen"], args.steps)
+    mesh_ctx.__exit__(None, None, None)
+    final = write_fixture(state["gen"], step0 + args.steps)
+    save_state(step0 + args.steps)
     print("final eval:", json.dumps(final))
 
 

@@ -78,6 +78,17 @@ class LongFormSegmenter:
 
     ``LongFormSegmenter(segmenter)(wav or wav_file, in_second=True)`` returns
     the same dict contract as `Segmenter`.
+
+    NOTE on numerics: the default ``transfer="int16"`` applies only to
+    ``return_hidden=False`` calls and uploads the recording once as
+    peak-scaled int16, so those outputs are NOT bit-identical to the
+    ``transfer="float32"`` window path (quantization 1/32767 of recording
+    peak — far below bf16 resolution; boundary F1 = 1.0 between the paths
+    on the trained 768-d fixture, gated by bench.py's
+    ``longform_int16_vs_f32_f1``). Parity-sensitive callers comparing
+    against the reference should pass ``transfer="float32"``.
+    ``return_hidden=True`` always uses float32 windows (hidden states are
+    a reference-parity surface).
     """
 
     def __init__(

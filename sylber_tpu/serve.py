@@ -101,8 +101,16 @@ class SegmenterServer:
         self.max_batch = min(int(max_batch), int(cap))
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=max_queue)
+        # _pending is mutated only by the dispatcher thread, but stats()
+        # iterates it from caller threads — every mutation and the stats
+        # read hold _lock (mutations are tiny: list append / dict del).
         self._pending: Dict[tuple, List[_Request]] = {}
         self._lock = threading.Lock()
+        # serializes the submit-time stopped-check+enqueue against stop()
+        # setting _stopped: any request enqueued under this lock is in _q
+        # before _stopped is set, so the dispatcher's exit drain sees it
+        # (otherwise a late submit's Future would never resolve).
+        self._submit_lock = threading.Lock()
         self._stats = ServerStats()
         self._lat_ms: List[float] = []  # ring buffer of recent latencies
         self._stopped = threading.Event()
@@ -140,8 +148,6 @@ class SegmenterServer:
         """Enqueue one utterance; returns a Future resolving to the
         Segmenter output dict. ``return_hidden`` defaults to False for
         serving (hidden states are ~0.4 MB/s of audio of D2H traffic)."""
-        if self._stopped.is_set():
-            raise RuntimeError("SegmenterServer is stopped")
         wav = np.asarray(wav, np.float32).reshape(-1)
         if wav.size < 400:  # below one receptive field -> zero frames
             raise ValueError(
@@ -149,7 +155,10 @@ class SegmenterServer:
         fut: Future = Future()
         key = (norm_threshold, merge_threshold, bool(in_second),
                bool(return_hidden))
-        self._q.put(_Request(wav, fut, key, time.monotonic()))
+        with self._submit_lock:
+            if self._stopped.is_set():
+                raise RuntimeError("SegmenterServer is stopped")
+            self._q.put(_Request(wav, fut, key, time.monotonic()))
         with self._lock:
             self._stats.requests += 1
         return fut
@@ -197,9 +206,10 @@ class SegmenterServer:
     def stop(self, drain: bool = True, timeout: float = 60.0) -> None:
         """Stop the dispatcher. ``drain=True`` serves queued requests first;
         ``drain=False`` cancels anything not yet dispatched."""
-        if self._stopped.is_set():
-            return
-        self._stopped.set()
+        with self._submit_lock:
+            if self._stopped.is_set():
+                return
+            self._stopped.set()
         self._drain_on_stop = drain
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=timeout)
@@ -234,23 +244,25 @@ class SegmenterServer:
             return False
         if req is None:
             return False
-        self._pending.setdefault(req.key, []).append(req)
+        with self._lock:
+            self._pending.setdefault(req.key, []).append(req)
         return True
 
     def _next_batch(self) -> Optional[List[_Request]]:
         """Pick the fullest compatible group; take up to max_batch requests,
         longest first (so one program covers them with minimal padding)."""
-        if not self._pending:
-            return None
-        key = max(self._pending, key=lambda k: len(self._pending[k]))
-        group = self._pending[key]
-        group.sort(key=lambda r: len(r.wav), reverse=True)
-        batch, rest = group[: self.max_batch], group[self.max_batch:]
-        if rest:
-            self._pending[key] = rest
-        else:
-            del self._pending[key]
-        return batch
+        with self._lock:
+            if not self._pending:
+                return None
+            key = max(self._pending, key=lambda k: len(self._pending[k]))
+            group = self._pending[key]
+            group.sort(key=lambda r: len(r.wav), reverse=True)
+            batch, rest = group[: self.max_batch], group[self.max_batch:]
+            if rest:
+                self._pending[key] = rest
+            else:
+                del self._pending[key]
+            return batch
 
     def _run(self) -> None:
         while True:
@@ -273,8 +285,9 @@ class SegmenterServer:
                     and not self._pending:
                 break
         # stopped: resolve anything left
-        leftover = [r for g in self._pending.values() for r in g]
-        self._pending.clear()
+        with self._lock:
+            leftover = [r for g in self._pending.values() for r in g]
+            self._pending.clear()
         while True:
             try:
                 req = self._q.get_nowait()

@@ -244,6 +244,29 @@ def train_synthesis(
 
     batch_size = train_cfg.get("batch_size", 32)
     assert n_utts >= batch_size, (n_utts, batch_size)
+
+    # ---- optional DP mesh (same `mesh: {dp}` knob as the distillation
+    # loop; the reference's intended resynthesis training would have ridden
+    # the same Lightning DDP, /root/reference/train.py:91-102). The CFM
+    # trainer is DP-only: batches shard over dp, state replicates, GSPMD
+    # inserts the gradient psum. mp>1 is rejected — the regressor has no
+    # TP rules and silently replicating would misreport the mesh. ----
+    mesh_cfg = dict(cfg.get("mesh", {}) or {})
+    mesh = None
+    if mesh_cfg:
+        from ..parallel.mesh import make_mesh, replicated, shard_batch
+
+        assert int(mesh_cfg.get("mp", 1)) == 1, \
+            "synthesis trainer supports dp sharding only"
+        dp_req = mesh_cfg.get("dp", -1)
+        mesh = make_mesh(dp=None if dp_req in (-1, None) else int(dp_req),
+                         mp=1)
+        dp = mesh.shape["dp"]
+        assert batch_size % dp == 0, (batch_size, dp)
+        state = jax.tree.map(lambda x: replicated(x, mesh), state)
+        features = replicated(features, mesh)
+        art = replicated(art, mesh)
+        print(f"mesh: dp={dp} over {dp} devices")
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricLogger(out_dir)
     rng = jax.random.PRNGKey(seed)
@@ -251,29 +274,46 @@ def train_synthesis(
     order = np.array([], np.int64)
 
     t_last, s_last = time.perf_counter(), 0
+    import contextlib
     import gc
 
-    for step_i in range(total_steps):
-        if len(order) < batch_size:
-            order = np.arange(n_utts)
-            order_rng.shuffle(order)
-        idx, order = jnp.asarray(order[:batch_size]), order[batch_size:]
-        batch = {"features": features[idx], "art": art[idx]}
-        state, metrics = step_fn(state, batch,
-                                 jax.random.fold_in(rng, step_i))
-        if (step_i + 1) % log_every == 0:
-            m = jax.device_get(metrics)
-            now = time.perf_counter()
-            m["steps_per_sec"] = (step_i + 1 - s_last) / (now - t_last)
-            t_last, s_last = now, step_i + 1
-            row = logger.log(step_i + 1, {k: float(v) for k, v in m.items()})
-            print(f"step {step_i + 1}: " + " ".join(
-                f"{k}={v:.4g}" for k, v in row.items()
-                if k not in ("time", "prefix")))
-        if (step_i + 1) % 50 == 0:
-            gc.collect()  # same few-but-huge-objects GC gap as train/loop.py
+    from ..parallel.mesh import fetch_replicated
 
-    synth.params = state.params
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
+    with mesh_ctx:
+        for step_i in range(total_steps):
+            if len(order) < batch_size:
+                order = np.arange(n_utts)
+                order_rng.shuffle(order)
+            idx, order = jnp.asarray(order[:batch_size]), order[batch_size:]
+            batch = {"features": features[idx], "art": art[idx]}
+            krng = jax.random.fold_in(rng, step_i)
+            if mesh is not None:
+                from ..parallel.mesh import replicated, shard_batch
+
+                batch = shard_batch(batch, mesh)
+                krng = replicated(krng, mesh)
+            state, metrics = step_fn(state, batch, krng)
+            if (step_i + 1) % log_every == 0:
+                m = fetch_replicated(metrics)
+                now = time.perf_counter()
+                m["steps_per_sec"] = (step_i + 1 - s_last) / (now - t_last)
+                t_last, s_last = now, step_i + 1
+                row = logger.log(step_i + 1,
+                                 {k: float(v) for k, v in m.items()})
+                print(f"step {step_i + 1}: " + " ".join(
+                    f"{k}={v:.4g}" for k, v in row.items()
+                    if k not in ("time", "prefix")))
+            if (step_i + 1) % 50 == 0:
+                gc.collect()  # few-but-huge-objects GC gap (train/loop.py)
+
+    # eval + artifacts run outside the mesh context on host-assembled
+    # params (fetch_replicated: first addressable shard IS the value)
+    final_params = (state.params if mesh is None
+                    else fetch_replicated(state.params))
+    synth.params = final_params
+    state = state._replace(params=final_params)
 
     # ---- held-out gate ----
     ev_cfg = dict(cfg.get("eval", {}))

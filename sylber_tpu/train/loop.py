@@ -33,6 +33,8 @@ def distill_config_from_dict(model_cfg: Dict[str, Any]) -> DistillConfig:
     m = dict(model_cfg)
     extra = {k: tuple(v) if isinstance(v, list) else v
              for k, v in m.get("hubert", {}).items()}
+    if "frontend_dtype" in m:  # model-level knob (bf16 fast frontend)
+        extra.setdefault("frontend_dtype", jnp.dtype(m["frontend_dtype"]))
     hubert = HubertConfig(
         num_hidden_layers=m.get("encoding_layer", 9),
         dtype=jnp.dtype(m.get("dtype", "float32")),

@@ -65,3 +65,50 @@ def test_graft_entry_contract():
     segs, nseg, feats = out
     assert segs.shape[0] == 2 and segs.shape[-1] == 2
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_exemplar_tpu_config_smoke(tmp_path):
+    """The shipped production-TPU exemplar (configs/sylber_base_stage2_tpu.yaml)
+    actually drives its knobs: mesh dp over all devices, steps_per_dispatch
+    scan-folding, device-resident int16 data. Only size knobs (model dims,
+    batch, lengths, steps) are overridden for CPU; the orchestration keys
+    come from the shipped file so drift there breaks this test."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    with open(os.path.join(root, "configs", "sylber_base_stage2_tpu.yaml")) as f:
+        cfg = yaml.safe_load(f)
+
+    # exemplar knobs must be SET in the shipped file (VERDICT r3 #7)
+    assert cfg["mesh"] == {"dp": -1, "mp": 1}
+    assert cfg["steps_per_dispatch"] == 8
+    assert cfg["data"]["device_resident"] is True
+    assert cfg["data"]["transfer"] == "int16"
+    assert cfg["model"]["dtype"] == "bfloat16"
+
+    # shrink to CPU size; keep every orchestration knob
+    cfg["model"].update({
+        "encoding_layer": 1, "dtype": "float32",
+        "frontend_dtype": "float32",
+        "hubert": {"hidden_size": 32, "num_attention_heads": 4,
+                   "intermediate_size": 64, "conv_dim": [16] * 7,
+                   "num_conv_pos_embeddings": 16,
+                   "num_conv_pos_embedding_groups": 4},
+    })
+    cfg["data"] = {"synthetic": True, "n_utts": 16, "max_len": 8000,
+                   "batch_size": 16, "segment_online_data": True,
+                   "transfer": cfg["data"]["transfer"],
+                   "device_resident": cfg["data"]["device_resident"]}
+    cfg["model_ckpt"] = None
+    cfg["max_steps"] = 8  # one folded dispatch at steps_per_dispatch=8
+
+    from sylber_tpu.train.loop import train
+
+    state = train(cfg, out_dir=str(tmp_path), max_steps=8, log_every=8,
+                  ckpt_every=10_000)
+    import jax
+
+    assert int(jax.device_get(state.step)) == 8
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert any(np.isfinite(r.get("loss", np.nan)) for r in rows)

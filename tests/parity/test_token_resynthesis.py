@@ -1,0 +1,190 @@
+"""Discrete-token chain gates: wav -> tokens -> CFM resynthesis.
+
+``tests/fixtures/token_chain.json`` is produced by
+``scripts/token_chain_proof.py`` on the trained mini fixtures: it fits
+k-means codebooks on mini-encoder segment features and runs the FULL chain
+(wav -> fused segment -> tokenize -> decode(tokens) -> CFM -> vocoder) per
+codebook size, against the continuous-feature chain as the reference point.
+This is the reference's headline capability (5K/10K/20K-unit resynthesis,
+`/root/reference/docs/index.html`; quantizers at
+`/root/reference/sylber/model/quantizer.py:86-175`).
+
+Gates here pin (a) the recorded table: tokens must cost only a bounded
+degradation vs continuous features, every codeword must be used; and
+(b) a LIVE mini chain: the checked-in codebook actually drives
+``SegmentSynthesis(quantizer=...)`` end-to-end.
+
+Pitch correlation is seed-sensitive on small eval sets (CLAUDE.md) — the
+regression gates lean on the L1 metrics and on token-vs-feature DELTAS,
+which share the eval seed.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURES = Path(__file__).parent.parent / "fixtures"
+CHAIN = FIXTURES / "token_chain.json"
+
+pytestmark = pytest.mark.skipif(
+    not CHAIN.exists(),
+    reason="token chain fixture not built (scripts/token_chain_proof.py)")
+
+
+@pytest.fixture(scope="module")
+def table():
+    return json.loads(CHAIN.read_text())
+
+
+def test_continuous_chain_matches_synthesis_fixture(table):
+    """The no-quantizer chain through the wav path reproduces the
+    mini_synth fixture quality (trained-CFM sanity)."""
+    f = table["table"]["features"]
+    assert f["pitch_corr"] > 0.85, f
+    assert f["loud_corr"] > 0.75, f
+    assert f["pitch_l1_voiced"] < 0.15, f
+
+
+def test_tokens_cost_bounded_degradation(table):
+    """Per codebook size: tokenized resynthesis stays within a bounded
+    delta of the continuous chain (the tokens-vs-features table)."""
+    t = table["table"]
+    f = t["features"]
+    # production-shaped codebook (256+) loses almost nothing
+    for key in [k for k in t if k.startswith("km") and
+                int(k[2:]) >= 256]:
+        m = t[key]
+        assert m["pitch_corr"] > f["pitch_corr"] - 0.05, (key, m)
+        assert m["loud_corr"] > f["loud_corr"] - 0.03, (key, m)
+        assert m["pitch_l1_voiced"] < f["pitch_l1_voiced"] + 0.02, (key, m)
+        assert m["loud_l1"] < f["loud_l1"] + 0.01, (key, m)
+    # even the tiny codebook keeps the chain functional
+    for key in [k for k in t if k.startswith("km")]:
+        m = t[key]
+        assert m["pitch_corr"] > 0.6, (key, m)
+        assert m["loud_corr"] > 0.6, (key, m)
+
+
+def test_every_codeword_used(table):
+    for key, m in table["table"].items():
+        if key.startswith("km"):
+            assert m["codebook_usage"] == int(key[2:]), (key, m)
+
+
+def test_codebook_files_checked_in(table):
+    for K, fname in table["codebooks"].items():
+        p = FIXTURES / fname
+        assert p.exists(), p
+        cents = np.load(p)
+        assert cents.shape[0] == int(K)
+
+
+@pytest.mark.skipif(not (FIXTURES / "mini_codebook_256.npy").exists(),
+                    reason="codebook fixture missing")
+def test_live_token_chain_runs():
+    """The checked-in 256-codebook drives the full chain live: tokens in
+    range, every stage shape-consistent, articulatory output sane."""
+    import sys
+
+    sys.path.insert(0, str(FIXTURES.parent.parent / "scripts"))
+    from token_chain_proof import build_synth, eval_chain
+
+    from sylber_tpu.flow.quantizer import KMQuantizer
+    from sylber_tpu.train.synthesis_loop import build_synthesis_corpus
+
+    cents = np.load(FIXTURES / "mini_codebook_256.npy").astype(np.float32)
+    q = KMQuantizer(cents)
+    synth, norm_thr, merge_thr = build_synth(quantizer=q)
+    heldout = build_synthesis_corpus(2, 3.0, seed=90001)
+    art, m = eval_chain(synth, norm_thr, merge_thr, heldout, steps=8,
+                        batch=2)
+    assert np.isfinite(art).all()
+    assert art.shape[-1] == 14
+    # 8 ODE steps, 2 utts: looser than the recorded 50-step table
+    assert m["loud_corr"] > 0.4, m
+    assert m["pitch_l1_voiced"] < 0.4, m
+
+    # tokenizer surface: ids within the codebook, decode round-trips
+    from sylber_tpu.tokenizer import SylberTokenizer
+
+    # (segment features only; Segmenter not needed for this check)
+    import jax.numpy as jnp
+
+    feats = heldout["art"][:, :4, :]  # any (n, d) works for the protocol
+    ids = np.asarray(q.get_indices(jnp.asarray(
+        np.random.RandomState(0).randn(16, cents.shape[1]).astype(
+            np.float32))))
+    assert ids.min() >= 0 and ids.max() < 256
+    dec = np.asarray(q.decode(jnp.asarray(ids)))
+    assert dec.shape == (16, cents.shape[1])
+
+
+def test_trainable_vq_joint_step_and_roundtrip():
+    """The trainable grouped-residual VQ (reference Quantizer semantics)
+    trains jointly with the CFM: two steps move the codebooks and the
+    loss is finite; the tokenizer adapter save/load round-trips exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sylber_tpu.synthesis import (SegmentSynthesis, SynthesisConfig,
+                                      make_synthesis_optimizer)
+    from sylber_tpu.train.vq_synthesis import (
+        TrainedVQTokenizer, init_vq_synthesis_train_state,
+        make_vq_synthesis_train_step, quantizer_config_from_dict)
+
+    sc = SynthesisConfig.from_yaml_dict({
+        "encoding_layer": 1,
+        "input_configs": {"output_dim": 16, "hidden_dims": [16],
+                          "dropout": 0.0},
+        "regressor_configs": {"depth": 1, "dim": 32, "heads": 2,
+                              "dim_head": 16, "dim_in_proj": 16,
+                              "dim_cond_emb": 16, "sigma": 0.0},
+    })
+    import dataclasses
+
+    from sylber_tpu.models.hubert import HubertConfig
+
+    sc = dataclasses.replace(sc, hubert=HubertConfig(
+        num_hidden_layers=1, hidden_size=24, num_attention_heads=4,
+        intermediate_size=32, conv_dim=(8,) * 7,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4))
+    synth = SegmentSynthesis(config=sc, seed=0)
+    qcfg = quantizer_config_from_dict(
+        {"output_dim": 12, "pitch_emb_dim": 4, "hidden_dims": [16],
+         "art_vq": {"codebook_size": 8}, "pitch_vq": {"codebook_size": 4}},
+        input_dim=24)
+    opt = make_synthesis_optimizer(lr=1e-3, warmup_steps=1, total_steps=10)
+    step = jax.jit(make_vq_synthesis_train_step(synth, qcfg, opt))
+    state = init_vq_synthesis_train_state(synth, qcfg, opt,
+                                          jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    batch = {"features": jnp.asarray(rng.randn(2, 12, 24).astype(np.float32)),
+             "art": jnp.asarray(rng.randn(2, 12, 14).astype(np.float32))}
+    cb0 = np.asarray(state.quantizer.art_vq.codebooks)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = step(s1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss"]))
+    assert np.isfinite(float(m2["commit_loss"]))
+    assert not np.allclose(cb0, np.asarray(s2.quantizer.art_vq.codebooks)), \
+        "EMA k-means never moved the codebooks"
+    assert int(s2.step) == 2
+
+    tok = TrainedVQTokenizer(jax.device_get(s2.quantizer), qcfg)
+    feats = jnp.asarray(rng.randn(3, 5, 24).astype(np.float32))
+    ids = np.asarray(tok.get_indices(feats))
+    assert ids.shape == (3, 5, 2)  # art + pitch code per segment
+    dec = np.asarray(tok.decode(jnp.asarray(ids)))
+    assert dec.shape == (3, 5, 12)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tok.save_npz(td + "/tok.npz")
+        tok2 = TrainedVQTokenizer.load_npz(td + "/tok.npz", qcfg)
+        np.testing.assert_array_equal(
+            ids, np.asarray(tok2.get_indices(feats)))
+        np.testing.assert_allclose(
+            dec, np.asarray(tok2.decode(jnp.asarray(ids))), rtol=1e-6)

@@ -41,11 +41,19 @@ def main(argv=None):
                     help="ODE steps for the held-out gate (demo uses 50)")
     ap.add_argument("--fixture-dir", default=None,
                     help="write mini_synth fixture (npz + json) here")
+    ap.add_argument("--tokens", action="store_true",
+                    help="jointly train the trainable grouped-residual-VQ "
+                         "quantizer in the conditioning path (VQ-VAE style; "
+                         "needs model.quantizer_configs in the yaml) and "
+                         "gate the full wav->tokens->CFM chain")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
     out_dir = args.out_dir or f"runs/{cfg.get('name', 'synthesis')}"
+
+    if args.tokens:
+        return _main_tokens(cfg, out_dir, args)
 
     from sylber_tpu.train.synthesis_loop import train_synthesis
 
@@ -67,6 +75,36 @@ def main(argv=None):
         meta = {"config": cfg, "eval": metrics}
         (fx / "mini_synth.json").write_text(json.dumps(meta, indent=1))
         print(f"fixture written to {fx}/mini_synth.npz")
+    return 0
+
+
+def _main_tokens(cfg, out_dir, args):
+    """--tokens mode: joint quantizer + CFM training, VQ-token fixture."""
+    import dataclasses
+    import jax
+
+    from sylber_tpu.io.checkpoint import save_params_npz
+    from sylber_tpu.train.vq_synthesis import (TrainedVQTokenizer,
+                                               train_vq_synthesis)
+
+    state, qcfg, metrics = train_vq_synthesis(
+        cfg, out_dir=out_dir, max_steps=args.max_steps,
+        log_every=args.log_every, eval_steps=args.eval_steps)
+
+    if args.fixture_dir:
+        fx = Path(args.fixture_dir)
+        fx.mkdir(parents=True, exist_ok=True)
+        tok = TrainedVQTokenizer(jax.device_get(state.quantizer), qcfg)
+        tok.save_npz(str(fx / "mini_vq_tokenizer.npz"))
+        save_params_npz(str(fx / "mini_vq_synth.npz"),
+                        {"input_mlp": jax.device_get(state.input_mlp),
+                         "regressor": jax.device_get(state.regressor)})
+        meta = {"config": cfg,
+                "quantizer_config": dataclasses.asdict(qcfg),
+                "eval": metrics}
+        (fx / "mini_vq_synth.json").write_text(json.dumps(meta, indent=1))
+        print(f"fixtures written to {fx}/mini_vq_tokenizer.npz + "
+              "mini_vq_synth.npz")
     return 0
 
 

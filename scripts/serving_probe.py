@@ -106,24 +106,48 @@ def main() -> None:
     # masquerade as steady-state serving latency
     cold = run_pass(record=False)
     print(f"cold pass: {cold:.1f}s (program loads)", file=sys.stderr)
+
+    def report_pass(wall: float, label: str) -> dict:
+        lat_ms = np.sort(np.asarray(lat)) * 1e3
+        s = server.stats()
+        return {
+            "mode": label,
+            "device": jax.devices()[0].device_kind,
+            "clients": n_clients,
+            "requests": len(lat),
+            "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 1),
+            "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 1),
+            "latency_ms_p99": round(float(np.percentile(lat_ms, 99)), 1),
+            "throughput_rtfx": round(audio_total[0] / wall, 1),
+            "requests_per_sec": round(len(lat) / wall, 1),
+            "mean_batch_size": round(s.mean_batch_size, 2),
+            "batches": s.batches,
+        }
+
+    spec_rate = float(os.environ.get("SYLBER_SERVE_SPECULATE", 0))
+    if os.environ.get("SYLBER_SERVE_AB") == "1":
+        # adjacent interleaved A/B of the speculative feature-prefix fetch
+        # (serving deltas < 2x are tunnel noise unless measured adjacently)
+        rate = spec_rate or 6.0
+        results = []
+        for rep in range(int(os.environ.get("SYLBER_SERVE_AB_REPS", 2))):
+            for mode, val in (("off", None), (f"spec@{rate}/s", rate)):
+                seg.speculative_tokens_per_s = val
+                lat.clear()
+                audio_total[0] = 0.0
+                wall = run_pass(record=True)
+                results.append(report_pass(wall, f"{mode} rep{rep}"))
+                print(json.dumps(results[-1]), file=sys.stderr)
+        server.stop()
+        print(json.dumps(results, indent=1))
+        return
+
+    if spec_rate:
+        seg.speculative_tokens_per_s = spec_rate
     wall = run_pass(record=True)
     server.stop()
-
-    lat_ms = np.sort(np.asarray(lat)) * 1e3
-    s = server.stats()
-    report = {
-        "device": jax.devices()[0].device_kind,
-        "clients": n_clients,
-        "requests": len(lat),
-        "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 1),
-        "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 1),
-        "latency_ms_p99": round(float(np.percentile(lat_ms, 99)), 1),
-        "throughput_rtfx": round(audio_total[0] / wall, 1),
-        "requests_per_sec": round(len(lat) / wall, 1),
-        "mean_batch_size": round(s.mean_batch_size, 2),
-        "batches": s.batches,
-    }
-    print(json.dumps(report, indent=2))
+    print(json.dumps(report_pass(
+        wall, f"spec@{spec_rate}/s" if spec_rate else "off"), indent=2))
 
 
 if __name__ == "__main__":

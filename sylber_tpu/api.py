@@ -58,6 +58,7 @@ class Segmenter:
         params: Optional[Dict[str, Any]] = None,
         hubert_config: Optional[HubertConfig] = None,
         mesh: Optional[Any] = None,
+        speculative_tokens_per_s: Optional[float] = None,
         **kwargs: Any,
     ) -> None:
         self.config = hubert_config or HubertConfig(
@@ -68,6 +69,18 @@ class Segmenter:
         self.merge_threshold = float(merge_threshold)
         self.length_bucket = int(length_bucket_s * 16000)
         self.batch_buckets = tuple(sorted(batch_buckets))
+        # speculative feature-prefix fetch (serving): start an async D2H
+        # copy of features[:, :K] at dispatch time, K sized from this
+        # assumed max token rate (tokens/s; real mean is ~4.27). When the
+        # batch's max segment count fits in K, finalize skips the
+        # data-dependent sliced fetch (~2 serial tunnel RTTs); when it
+        # doesn't, the sliced fetch still runs and the prefix bytes were
+        # wasted. On a ~25 MB/s tunnel the break-even margin is only a few
+        # segments, so this is opt-in — measure with
+        # scripts/serving_probe.py --speculate before enabling.
+        self.speculative_tokens_per_s = (
+            float(speculative_tokens_per_s) if speculative_tokens_per_s
+            else None)
 
         if params is not None:
             self.params = params
@@ -267,10 +280,24 @@ class Segmenter:
         for a in small:
             a.copy_to_host_async()
 
+        spec_feats = spec_k = None
+        if self.speculative_tokens_per_s:
+            # prefix copy overlaps the forward; margin of +8 over the
+            # assumed-max rate bounds wasted bytes at ~B*8*768*4
+            spec_k = min(
+                int(np.ceil(max_len / 16000.0
+                            * self.speculative_tokens_per_s)) + 8,
+                res.features.shape[1])
+            spec_feats = res.features[:, :spec_k]
+            spec_feats.copy_to_host_async()
+
         def finalize() -> List[Dict[str, np.ndarray]]:
             nseg = np.asarray(res.num_segments)
             max_k = max(int(nseg.max()), 1)
-            feats = np.asarray(res.features[:, :max_k])
+            if spec_feats is not None and max_k <= spec_k:
+                feats = np.asarray(spec_feats)[:, :max_k]
+            else:
+                feats = np.asarray(res.features[:, :max_k])
             segs = np.asarray(res.segments)[:, :max_k]
             norms = np.asarray(res.norms)
             hidden_host = np.asarray(hidden) if return_hidden is True else None

@@ -35,8 +35,10 @@ _PALLAS_MIN_SEQ = 8192
 
 
 def set_attention_impl(impl: str) -> None:
+    """"xla" | "pallas" (blocked flash, long-L) | "pallas_small" (fused
+    single-block kernel for L<=512, ops/pallas/smallattn.py) | "auto"."""
     global _IMPL
-    assert impl in ("xla", "pallas", "auto"), impl
+    assert impl in ("xla", "pallas", "pallas_small", "auto"), impl
     _IMPL = impl
 
 
@@ -79,6 +81,18 @@ def dot_product_attention(
     if scale is None:
         scale = head_dim ** -0.5
     prob_dropout = dropout_rate > 0.0 and dropout_rng is not None
+
+    if (_IMPL == "pallas_small" and not prob_dropout
+            and q.shape[-2] <= 512
+            and (bias is None or bias.shape[-2] == 1)):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from .pallas.smallattn import fused_attention_small
+
+            return fused_attention_small(q, k, v, bias=bias, scale=scale)
 
     if _use_pallas(q.shape[-2]) and not prob_dropout:
         try:

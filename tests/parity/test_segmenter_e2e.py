@@ -188,3 +188,33 @@ def test_oversize_batch_streams_and_matches_per_batch(setup):
         np.testing.assert_allclose(a["segment_features"],
                                    b["segment_features"], rtol=1e-6,
                                    atol=1e-6)
+
+
+def test_speculative_prefix_fetch_identical(setup):
+    """The opt-in speculative feature-prefix fetch (serving knob) returns
+    byte-identical outputs to the exact sliced fetch — both when the prefix
+    covers the batch (fast path) and when it must fall back (tiny K)."""
+    _, seg = setup
+    rng = np.random.RandomState(3)
+    wavs = [synth_speech(rng, 16000), synth_speech(rng, 12000)]
+
+    base = seg.process(wavs, return_hidden=False)
+    try:
+        seg.speculative_tokens_per_s = 6.0  # prefix covers (K >= max_k)
+        spec = seg.process(wavs, return_hidden=False)
+        # force the fallback: an absurdly low assumed rate makes K < max_k
+        # whenever any utterance has >= 1 segment... use negative margin by
+        # monkeying the attr to a tiny value
+        seg.speculative_tokens_per_s = 1e-9
+        fall = seg.process(wavs, return_hidden=False)
+    finally:
+        seg.speculative_tokens_per_s = None
+
+    for a, b in zip(base, spec):
+        np.testing.assert_array_equal(a["segments"], b["segments"])
+        np.testing.assert_array_equal(a["segment_features"],
+                                      b["segment_features"])
+    for a, b in zip(base, fall):
+        np.testing.assert_array_equal(a["segments"], b["segments"])
+        np.testing.assert_array_equal(a["segment_features"],
+                                      b["segment_features"])

@@ -14,6 +14,14 @@ follows the standard HiFi-GAN v1 recipe (Kong et al. 2020):
   2/3/5/7/11) and multi-scale (3 average-pooled scales, 1D convs).
 - Losses: LS-GAN adversarial, feature matching (L1 over discriminator
   activations, lambda 2), mel-spectrogram L1 (lambda 45).
+- Optional NSF-style harmonic source (``harmonic_source=True``): sine
+  harmonics synthesized from the pitch conditioning channel at the output
+  sample rate (phase = cumsum of instantaneous frequency) plus a noise
+  channel, injected into every upsample stage through learnable strided
+  convs (anti-aliased downsamplers). Explicit excitation pins the output's
+  periodicity to the conditioning F0 — the plain generator must discover
+  periodicity through the mel loss alone (measured on the synthetic proof:
+  F0-track correlation 0.54 at 10k steps without a source).
 
 Transposed convs use VALID padding + symmetric crop of (kernel - stride)/2,
 which reproduces torch's ConvTranspose1d(padding=(k-u)//2) output lengths
@@ -45,6 +53,14 @@ class HiFiGANConfig:
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilation_sizes: Sequence[Tuple[int, ...]] = (
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    # NSF-style harmonic excitation (off by default: converted torch
+    # checkpoints and the pre-r4 fixtures have no source convs)
+    harmonic_source: bool = False
+    pitch_channel: int = 12            # abs-log-pitch channel: log(f0/100)
+    sample_rate: int = 16000
+    n_harmonics: int = 8
+    source_amp: float = 0.1
+    source_noise: float = 0.003
     dtype: Any = jnp.float32
 
     @property
@@ -81,6 +97,30 @@ class ResBlock1(nn.Module):
         return x
 
 
+def harmonic_noise_source(features: jnp.ndarray, cfg: HiFiGANConfig,
+                          noise_rng) -> jnp.ndarray:
+    """NSF-style excitation from the pitch conditioning channel.
+
+    ``features[..., cfg.pitch_channel]`` holds absolute log-pitch
+    ``log(f0_hz / 100)`` (`SparcDecoder.features_from_art`). Returns
+    ``(B, T * total_upsample, n_harmonics + 1)`` float32: sine harmonics
+    with phase = 2*pi*cumsum(h * f0 / sr) (zeroed above Nyquist) plus one
+    broadband-noise channel. f32 cumsum phase drifts ~0.1 rad/s of audio —
+    inaudible through the conv stack.
+    """
+    f0 = 100.0 * jnp.exp(features[..., cfg.pitch_channel]
+                         .astype(jnp.float32))              # (B, T) Hz
+    f0_up = jnp.repeat(f0, cfg.total_upsample, axis=1)      # (B, L)
+    phase = 2.0 * jnp.pi * jnp.cumsum(f0_up / cfg.sample_rate, axis=1)
+    h = jnp.arange(1, cfg.n_harmonics + 1, dtype=jnp.float32)
+    sines = jnp.sin(phase[..., None] * h)                   # (B, L, H)
+    alive = (f0_up[..., None] * h) < (cfg.sample_rate / 2.0)
+    sines = cfg.source_amp * sines * alive
+    noise = cfg.source_noise * jax.random.normal(
+        noise_rng, f0_up.shape, jnp.float32)
+    return jnp.concatenate([sines, noise[..., None]], axis=-1)
+
+
 class Generator(nn.Module):
     config: HiFiGANConfig
 
@@ -90,6 +130,12 @@ class Generator(nn.Module):
         """(B, T, in_channels) frame features [+ (B, cond_channels) global
         conditioning] -> (B, T * total_upsample) waveform in [-1, 1]."""
         cfg = self.config
+        src = None
+        if cfg.harmonic_source:
+            noise_rng = (self.make_rng("source") if self.has_rng("source")
+                         else jax.random.PRNGKey(0))
+            src = harmonic_noise_source(features, cfg, noise_rng)
+            src = src.astype(cfg.dtype)
         assert cfg.upsample_initial_channel >= 2 ** len(cfg.upsample_rates), \
             "upsample_initial_channel halves per stage and must stay >= 1"
         x = features.astype(cfg.dtype)
@@ -102,9 +148,11 @@ class Generator(nn.Module):
                     dtype=cfg.dtype, name="conv_pre")(x)
 
         ch = cfg.upsample_initial_channel
+        cum = 1
         for i, (u, k) in enumerate(zip(cfg.upsample_rates,
                                        cfg.upsample_kernel_sizes)):
             ch //= 2
+            cum *= u
             x = nn.leaky_relu(x, LRELU_SLOPE)
             # VALID + crop reproduces torch ConvTranspose1d(padding=(k-u)//2)
             x = nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
@@ -112,6 +160,13 @@ class Generator(nn.Module):
             crop = (k - u) // 2
             if crop > 0:
                 x = x[:, crop:-crop]
+            if src is not None:
+                # learnable anti-aliased downsampler of the full-rate source
+                # to this stage's rate (stride = remaining upsample factor)
+                stride = cfg.total_upsample // cum
+                x = x + nn.Conv(ch, (2 * stride + 1,), strides=(stride,),
+                                padding="SAME", dtype=cfg.dtype,
+                                name=f"source_{i}")(src)
             acc = None
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                              cfg.resblock_dilation_sizes)):

@@ -155,6 +155,61 @@ def test_vocoder_training_smoke():
     assert mels[-1] < mels[0], mels
 
 
+def test_harmonic_source_frequency_and_nyquist():
+    """The NSF excitation's fundamental channel is a sine at exactly the
+    conditioning f0; harmonics above Nyquist are zeroed."""
+    import dataclasses
+
+    from sylber_tpu.vocoder.hifigan import harmonic_noise_source
+
+    cfg = dataclasses.replace(_tiny_cfg(), harmonic_source=True,
+                              n_harmonics=4, source_noise=0.0)
+    T, f0 = 50, 150.0
+    feats = np.zeros((1, T, 14), np.float32)
+    feats[..., cfg.pitch_channel] = np.log(f0 / 100.0)
+    src = np.asarray(harmonic_noise_source(
+        jnp.asarray(feats), cfg, jax.random.PRNGKey(0)))
+    assert src.shape == (1, T * cfg.total_upsample, cfg.n_harmonics + 1)
+    L = src.shape[1]
+    freqs = np.fft.rfftfreq(L, 1.0 / cfg.sample_rate)
+    for h in range(cfg.n_harmonics):
+        spec = np.abs(np.fft.rfft(src[0, :, h] * np.hanning(L)))
+        assert abs(freqs[spec.argmax()] - (h + 1) * f0) < 10.0, h
+    assert np.allclose(src[0, :, -1], 0.0)  # noise channel silenced
+
+    # harmonic above Nyquist is zeroed (f0 * h >= sr / 2)
+    hot = np.zeros((1, T, 14), np.float32)
+    hot[..., cfg.pitch_channel] = np.log(2500.0 / 100.0)  # 4th harm = 10 kHz
+    src_hot = np.asarray(harmonic_noise_source(
+        jnp.asarray(hot), cfg, jax.random.PRNGKey(0)))
+    assert np.allclose(src_hot[0, :, 3], 0.0)
+    assert not np.allclose(src_hot[0, :, 0], 0.0)
+
+
+def test_harmonic_source_generator():
+    """harmonic_source=True adds per-stage source convs (legacy tree
+    unchanged when off), produces the same output shape, and the apply is
+    deterministic without an explicit 'source' rng."""
+    import dataclasses
+
+    from sylber_tpu.vocoder.hifigan import Generator
+
+    cfg = dataclasses.replace(_tiny_cfg(), harmonic_source=True)
+    gen = Generator(cfg)
+    feats = jnp.asarray(np.random.RandomState(0).randn(2, 25, 14) * 0.1,
+                        jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), feats)["params"]
+    assert [k for k in params if k.startswith("source_")] == \
+        [f"source_{i}" for i in range(len(cfg.upsample_rates))]
+    wav = gen.apply({"params": params}, feats)
+    wav2 = gen.apply({"params": params}, feats)
+    assert wav.shape == (2, 25 * cfg.total_upsample)
+    np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav2))
+
+    legacy = Generator(_tiny_cfg()).init(jax.random.PRNGKey(0), feats)["params"]
+    assert not any(k.startswith("source_") for k in legacy)
+
+
 def test_sparc_decoder_api():
     from sylber_tpu.vocoder.hifigan import HiFiGANConfig
     from sylber_tpu.vocoder.sparc import SparcDecoder, SparcDecoderConfig

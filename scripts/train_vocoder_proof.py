@@ -213,20 +213,24 @@ def main():
     init_fn, step_fn = make_vocoder_train_step(vcfg)
     state = init_fn(jax.random.PRNGKey(0), t_frames=FRAMES,
                     batch=args.batch_size)
-    step0 = 0
-    if args.resume_from:
-        state, step0 = load_state_npz(args.resume_from, state)
-        state = jax.device_put(state)
-        print(f"resumed full train state from {args.resume_from} "
-              f"@ step {step0}", flush=True)
     step_jit = jax.jit(step_fn)
     gen = Generator(gcfg)
     gen_apply = jax.jit(
         lambda p, f, c: gen.apply({"params": p}, f, c))
 
     mel_cfg = MelConfig()
+    # MUST run before any --resume-from load: the baseline the fixture
+    # gates compare against is the FRESH PRNGKey(0) init, not the resumed
+    # checkpoint (a resumed session once recorded its step-4000 params as
+    # "random init", making the relative gate vacuous).
     base = evaluate(gen_apply, state["gen"], ho_feats, ho_wavs, mel_cfg)
     print("random-init eval:", json.dumps(base))
+    step0 = 0
+    if args.resume_from:
+        state, step0 = load_state_npz(args.resume_from, state)
+        state = jax.device_put(state)
+        print(f"resumed full train state from {args.resume_from} "
+              f"@ step {step0}", flush=True)
 
     # device-resident data (axon client retains every uploaded host buffer)
     d_feats = jnp.asarray(feats)

@@ -42,11 +42,16 @@ def vocoder_fixture():
 
 
 def test_recorded_eval_beats_random_init(vocoder_fixture):
+    """Absolute bars at the r3-verdict targets (F0 >= 0.7, periodicity >=
+    0.55, mel-L1 <= 0.45) — met via the NSF harmonic-source generator
+    (hifigan.py), which pins output periodicity to the conditioning F0."""
     ev = vocoder_fixture["meta"]["eval"]
     base = vocoder_fixture["meta"]["eval_random_init"]
     assert ev["mel_l1"] < 0.6 * base["mel_l1"], (ev, base)
-    assert ev["spec_corr"] > 0.6, ev
-    assert ev["f0_corr"] > 0.4, ev
+    assert ev["mel_l1"] < 0.45, ev
+    assert ev["spec_corr"] > 0.85, ev
+    assert ev["f0_corr"] > 0.7, ev
+    assert ev["periodicity"] > 0.55, ev
 
 
 def test_decoded_audio_tracks_fresh_ground_truth(vocoder_fixture):

@@ -32,6 +32,41 @@ TP_RULES = (
     (r"output_dense/kernel$", P("mp", None)),
 )
 
+# FSDP (ZeRO-3-style) leaves smaller than this stay replicated: sharding a
+# tiny bias saves nothing and costs an all-gather dispatch per use.
+FSDP_MIN_SIZE = 2 ** 16
+
+# Conv kernels are excluded from FSDP: XLA's SPMD partitioner CHECK-fails
+# (convolution_handler.cc "new_input_batch_size % new_output_batch_size")
+# when a grouped conv's kernel is sharded along the same axis as the input
+# batch, and conv weights are <5% of HuBERT's params anyway — the memory
+# win lives in the encoder matmuls.
+FSDP_EXCLUDE = re.compile(r"feature_extractor/|pos_conv_embed/")
+
+
+def _fsdp_extend(spec: P, shape, dp: int,
+                 min_size: int = FSDP_MIN_SIZE) -> P:
+    """Add a ``dp`` axis to ``spec`` on the largest free, divisible dim.
+
+    This is the GSPMD expression of ZeRO-3 / FSDP: the parameter (and its
+    optimizer moments, which share the spec) lives sharded over the data
+    axis; XLA inserts the all-gather before each use and turns the gradient
+    psum into a reduce-scatter. Per-device param+optimizer memory drops by
+    ~dp x for the sharded leaves. Leaves whose dims are all occupied by mp
+    or not divisible by dp stay as-is.
+    """
+    if int(np.prod(shape)) < min_size:
+        return spec
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_size = None, 0
+    for i, d in enumerate(shape):
+        if dims[i] is None and d % dp == 0 and d > best_size:
+            best, best_size = i, int(d)
+    if best is None:
+        return spec
+    dims[best] = "dp"
+    return P(*dims)
+
 
 def maybe_distributed_init(dist_cfg: Optional[dict] = None) -> bool:
     """Multi-host initialization (SURVEY.md §2.6: "jax.distributed init over
@@ -106,22 +141,40 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def hubert_param_specs(params, use_tp: bool = True):
-    """PartitionSpec tree for a HubertModel param pytree."""
+def hubert_param_specs(params, use_tp: bool = True, fsdp_dp: int = 0,
+                       fsdp_min_size: int = FSDP_MIN_SIZE):
+    """PartitionSpec tree for a HubertModel param pytree.
+
+    ``fsdp_dp > 1`` additionally shards every large leaf over the ``dp``
+    axis (ZeRO-3/FSDP; see ``_fsdp_extend``). The same function works on an
+    optax state pytree: moment/accumulator subtrees carry the param path as
+    a suffix, so the suffix-anchored TP_RULES match them too, and scalar
+    leaves (counts) fall through to replicate.
+    """
 
     def spec_for(path, leaf):
+        spec = P()
         if use_tp:
             s = _path_str(path)
-            for pat, spec in TP_RULES:
+            for pat, tp_spec in TP_RULES:
                 if re.search(pat, s):
-                    return spec
-        return P()
+                    spec = tp_spec
+                    break
+        shape = getattr(leaf, "shape", ())
+        if fsdp_dp and fsdp_dp > 1 and len(shape) \
+                and not FSDP_EXCLUDE.search(_path_str(path)):
+            spec = _fsdp_extend(spec, shape, fsdp_dp, min_size=fsdp_min_size)
+        return spec
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def shard_params(params, mesh: Mesh, use_tp: bool = True):
-    specs = hubert_param_specs(params, use_tp=use_tp)
+def shard_params(params, mesh: Mesh, use_tp: bool = True,
+                 fsdp: bool = False, fsdp_min_size: int = FSDP_MIN_SIZE):
+    specs = hubert_param_specs(
+        params, use_tp=use_tp,
+        fsdp_dp=int(mesh.shape["dp"]) if fsdp else 0,
+        fsdp_min_size=fsdp_min_size)
     return jax.tree.map(lambda x, s: put_global(x, mesh, s), params, specs)
 
 

@@ -142,6 +142,13 @@ def train(
     mesh = make_mesh(dp=None if dp_req in (-1, None) else int(dp_req), mp=mp)
     use_tp = mp > 1
     dp = mesh.shape["dp"]
+    # mesh: {fsdp: true} shards params + EMA + optimizer moments over the
+    # dp axis as well (ZeRO-3/FSDP via GSPMD — parallel/mesh.py
+    # _fsdp_extend): XLA all-gathers weights per use and reduce-scatters
+    # grads, cutting per-device state memory ~dp x. Composes with mp.
+    use_fsdp = bool(mesh_cfg.get("fsdp", False)) and dp > 1
+    from ..parallel.mesh import FSDP_MIN_SIZE
+    fsdp_min = int(mesh_cfg.get("fsdp_min_size", FSDP_MIN_SIZE))
     assert batch_size % dp == 0, (batch_size, dp)
     # Multi-process (multi-host) runs: every process executes this same
     # loop; the data pipeline is seeded identically so each host builds the
@@ -165,10 +172,25 @@ def train(
     thr_kwargs = cfg.get("model", {}).get("thresholder_configs") or {}
     state = init_train_state(dcfg, rng, params=init_params,
                              thresholder_kwargs=thr_kwargs)
+    if use_fsdp:
+        # optimizer moments/accumulators mirror the param tree (their paths
+        # end with the param path), so the same spec fn shards them
+        # consistently with the params; scalar counts replicate.
+        from ..parallel.mesh import hubert_param_specs, put_global
+
+        opt_specs = hubert_param_specs(state.opt_state, use_tp=use_tp,
+                                       fsdp_dp=dp, fsdp_min_size=fsdp_min)
+        opt_state = jax.tree.map(lambda x, s: put_global(x, mesh, s),
+                                 state.opt_state, opt_specs)
+    else:
+        opt_state = jax.tree.map(lambda x: replicated(x, mesh),
+                                 state.opt_state)
     state = state._replace(
-        params=shard_params(state.params, mesh, use_tp=use_tp),
-        ema_params=shard_params(state.ema_params, mesh, use_tp=use_tp),
-        opt_state=jax.tree.map(lambda x: replicated(x, mesh), state.opt_state),
+        params=shard_params(state.params, mesh, use_tp=use_tp,
+                            fsdp=use_fsdp, fsdp_min_size=fsdp_min),
+        ema_params=shard_params(state.ema_params, mesh, use_tp=use_tp,
+                                fsdp=use_fsdp, fsdp_min_size=fsdp_min),
+        opt_state=opt_state,
         step=replicated(state.step, mesh),
         thresholder=jax.tree.map(lambda x: replicated(x, mesh),
                                  state.thresholder),

@@ -25,16 +25,32 @@ def test_matches_xla_no_bias():
 
 
 def test_matches_xla_key_padding_bias():
+    """HF suffix-padding bias (the only form the model builds: frame masks
+    are downsampled sample lengths) — the kernel converts it to per-batch
+    kv lengths; non-contiguous masks are out of contract (XLA path)."""
     rng = np.random.RandomState(1)
     q, k, v = _qkv(rng, B=3, L=120)
     neg = jnp.finfo(jnp.float32).min
-    valid = jnp.asarray(rng.rand(3, 120) > 0.3)
-    valid = valid.at[:, :4].set(True)  # nonempty rows
+    lens = jnp.asarray([120, 73, 4])
+    valid = jnp.arange(120)[None, :] < lens[:, None]
     bias = jnp.where(valid[:, None, None, :], 0.0, neg)
     out = fused_attention_small(q, k, v, bias=bias, interpret=True)
     ref = dot_product_attention(q, k, v, bias=bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_kv_len_direct_matches_bias_form():
+    rng = np.random.RandomState(4)
+    q, k, v = _qkv(rng, B=3, L=120)
+    lens = jnp.asarray([120, 73, 4], jnp.int32)
+    neg = jnp.finfo(jnp.float32).min
+    valid = jnp.arange(120)[None, :] < lens[:, None]
+    bias = jnp.where(valid[:, None, None, :], 0.0, neg)
+    a = fused_attention_small(q, k, v, kv_len=lens, interpret=True)
+    b = fused_attention_small(q, k, v, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_matches_xla_bf16():

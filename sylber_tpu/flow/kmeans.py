@@ -121,10 +121,11 @@ def fit_kmeans(
                 p = d2 / max(d2.sum(), 1e-12)
                 reseed = rng.choice(len(sub), int(dead.sum()),
                                     replace=False, p=p)
-                c = np.asarray(centroids)
+                # np.array (copy): np.asarray of a jax.Array is read-only
+                c = np.array(centroids)
                 c[dead] = sub[reseed]
                 centroids = jnp.asarray(c)
-                cts = np.asarray(counts)
+                cts = np.array(counts)
                 cts[dead] = 0.0
                 counts = jnp.asarray(cts)
     return np.asarray(centroids), float(inertia)

@@ -43,6 +43,7 @@ class VQSynthState(NamedTuple):
     quantizer: QuantizerState
     input_mlp: Any
     regressor: Any
+    pitch_head: Any
     opt_state: Any
 
 
@@ -69,8 +70,19 @@ def quantizer_config_from_dict(d: Dict[str, Any],
 
 
 def make_vq_synthesis_train_step(synth, qcfg: QuantizerConfig, optimizer,
-                                 commit_weight: float = 1.0):
-    """(state, batch{features, art}, rng) -> (state, metrics); jittable."""
+                                 commit_weight: float = 1.0,
+                                 pitch_weight: float = 1.0):
+    """(state, batch{features, art}, rng) -> (state, metrics); jittable.
+
+    ``pitch_weight`` scales an auxiliary pitch-supervision loss: a linear
+    head on the QUANTIZED pitch sub-embedding predicts the frame-rate
+    log-pitch truth over voiced in-segment frames. The reference's
+    ``Quantizer`` names an art/pitch sub-space split
+    (`quantizer.py:182-257`) but ships no training recipe; without any
+    supervision nothing forces pitch into the pitch VQ and joint VQ-VAE
+    training measurably collapses it (fixture at pitch corr 0.067 vs 0.87
+    for plain k-means tokens). The straight-through path makes the pitch
+    CODES carry the signal, not just the encoder."""
     import optax
 
     from ..flow.cfm import cfm_loss
@@ -108,15 +120,28 @@ def make_vq_synthesis_train_step(synth, qcfg: QuantizerConfig, optimizer,
                            mask=batch.get("mask"), sigma=c.regressor.sigma,
                            frac_lengths_mask=c.regressor.frac_lengths_mask,
                            train=True)
-            total = cfm + commit_weight * out["commitment_loss"]
+            # auxiliary pitch supervision on the quantized pitch sub-space
+            # (straight-through: gradients reach the encoder THROUGH the
+            # codes, so the pitch VQ must encode pitch to lower this)
+            pitch_emb = out["quantize"][..., -qcfg.pitch_emb_dim:]
+            head = trainable["pitch_head"]
+            pred = pitch_emb @ head["kernel"] + head["bias"]
+            voiced = batch["art"][..., 13] > 0.02
+            pmask = (non_blank & voiced).astype(jnp.float32)
+            perr = (pred - batch["art"][..., 12]) ** 2
+            pitch_loss = (perr * pmask).sum() / jnp.maximum(pmask.sum(), 1.0)
+            total = (cfm + commit_weight * out["commitment_loss"]
+                     + pitch_weight * pitch_loss)
             return total, {"cfm_loss": cfm,
                            "commit_loss": out["commitment_loss"],
+                           "pitch_loss": pitch_loss,
                            "pre_vq": out["non_quantized"],
                            "indices": out["indices"]}
 
         trainable = {"qenc": state.quantizer.encoder,
                      "input_mlp": state.input_mlp,
-                     "regressor": state.regressor}
+                     "regressor": state.regressor,
+                     "pitch_head": state.pitch_head}
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -138,9 +163,11 @@ def make_vq_synthesis_train_step(synth, qcfg: QuantizerConfig, optimizer,
         new_state = VQSynthState(
             state.step + 1,
             QuantizerState(new_t["qenc"], art_vq, pitch_vq),
-            new_t["input_mlp"], new_t["regressor"], opt_state)
+            new_t["input_mlp"], new_t["regressor"], new_t["pitch_head"],
+            opt_state)
         metrics = {"loss": loss, "cfm_loss": aux["cfm_loss"],
                    "commit_loss": aux["commit_loss"],
+                   "pitch_loss": aux["pitch_loss"],
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
@@ -157,10 +184,14 @@ def init_vq_synthesis_train_state(synth, qcfg: QuantizerConfig, optimizer,
     # kernels are input-shaped; the synth default saw encoder-width inputs)
     mlp_params = synth.input_mlp.init(
         k2, jnp.zeros((1, 4, qcfg.output_dim)), deterministic=True)["params"]
+    pitch_head = {"kernel": jnp.zeros((qcfg.pitch_emb_dim,), jnp.float32),
+                  "bias": jnp.zeros((), jnp.float32)}
     trainable = {"qenc": qstate.encoder, "input_mlp": mlp_params,
-                 "regressor": synth.params.regressor}
+                 "regressor": synth.params.regressor,
+                 "pitch_head": pitch_head}
     return VQSynthState(jnp.zeros((), jnp.int32), qstate, mlp_params,
-                        synth.params.regressor, optimizer.init(trainable))
+                        synth.params.regressor, pitch_head,
+                        optimizer.init(trainable))
 
 
 class TrainedVQTokenizer:
@@ -270,8 +301,10 @@ def train_vq_synthesis(cfg: Dict[str, Any], out_dir: str = "runs/vq_synth",
         total_steps=total_steps,
         min_factor=train_cfg.get("min_factor", 0.05))
     commit_w = float(train_cfg.get("commit_weight", 1.0))
+    pitch_w = float(train_cfg.get("pitch_loss_weight", 1.0))
     step_fn = jax.jit(make_vq_synthesis_train_step(synth, qcfg, optimizer,
-                                                   commit_weight=commit_w))
+                                                   commit_weight=commit_w,
+                                                   pitch_weight=pitch_w))
     state = init_vq_synthesis_train_state(synth, qcfg, optimizer,
                                           jax.random.PRNGKey(seed + 7))
 

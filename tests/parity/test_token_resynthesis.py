@@ -199,3 +199,93 @@ def test_trainable_vq_joint_step_and_roundtrip():
             ids, np.asarray(tok2.get_indices(feats)))
         np.testing.assert_allclose(
             dec, np.asarray(tok2.decode(jnp.asarray(ids))), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# trained grouped-residual-VQ fixture gates (mini_vq_synth / mini_vq_tokenizer)
+# ---------------------------------------------------------------------------
+
+VQ_CKPT = FIXTURES / "mini_vq_synth.npz"
+VQ_TOK = FIXTURES / "mini_vq_tokenizer.npz"
+VQ_META = FIXTURES / "mini_vq_synth.json"
+ENC = FIXTURES / "mini_ckpt.npz"
+
+_vq_skip = pytest.mark.skipif(
+    not (VQ_CKPT.exists() and VQ_TOK.exists() and VQ_META.exists()
+         and ENC.exists()),
+    reason="trained VQ fixture not built (train_synthesis.py --tokens "
+           "--config configs/sylber_resynthesis_tokens_mini.yaml "
+           "--fixture-dir tests/fixtures)")
+
+
+@pytest.fixture(scope="module")
+def vq_fixture():
+    from sylber_tpu.flow.quantizer import (GroupedResidualVQConfig,
+                                           QuantizerConfig)
+    from sylber_tpu.io.checkpoint import load_params_npz
+    from sylber_tpu.synthesis import SegmentSynthesis, SynthesisParams
+    from sylber_tpu.train.synthesis_loop import synthesis_config_from_dict
+    from sylber_tpu.train.vq_synthesis import TrainedVQTokenizer
+
+    meta = json.loads(VQ_META.read_text())
+    qd = meta["quantizer_config"]
+    qcfg = QuantizerConfig(
+        input_dim=qd["input_dim"], output_dim=qd["output_dim"],
+        hidden_dims=tuple(qd["hidden_dims"]),
+        pitch_emb_dim=qd["pitch_emb_dim"],
+        art_vq=GroupedResidualVQConfig(**qd["art_vq"]),
+        pitch_vq=GroupedResidualVQConfig(**qd["pitch_vq"]),
+        unit_norm_encoder_input=qd["unit_norm_encoder_input"],
+        unit_norm_encoder_output=qd["unit_norm_encoder_output"],
+        keep_blank_zero=qd["keep_blank_zero"],
+        separate_norm=qd["separate_norm"])
+    tok = TrainedVQTokenizer.load_npz(str(VQ_TOK), qcfg)
+    model_cfg = meta["config"]["model"]
+    sc = synthesis_config_from_dict(model_cfg)
+    trained = load_params_npz(str(VQ_CKPT))
+    enc = load_params_npz(str(ENC))
+    synth = SegmentSynthesis(config=sc, quantizer=tok)
+    synth.params = SynthesisParams(enc["hubert"] if "hubert" in enc else enc,
+                                   trained["input_mlp"],
+                                   trained["regressor"])
+    return {"synth": synth, "tok": tok, "meta": meta,
+            "norm_thr": float(model_cfg["norm_threshold"]),
+            "supervised": float(meta["config"].get("train", {})
+                                .get("pitch_loss_weight", 0.0)) > 0}
+
+
+@_vq_skip
+def test_vq_recorded_eval_passes_gates(vq_fixture):
+    """Recorded held-out eval of the trained VQ chain: loudness must track;
+    pitch must track when the fixture was trained with the pitch
+    supervision head (without it the pitch sub-space measurably collapses
+    — recorded at 0.067 in the unsupervised round-4 fixture)."""
+    ev = vq_fixture["meta"]["eval"]
+    assert ev["loud_corr"] > 0.6, ev
+    if vq_fixture["supervised"]:
+        assert ev["pitch_corr"] > 0.5, ev
+
+
+@_vq_skip
+def test_vq_chain_runs_live_on_heldout(vq_fixture):
+    """The trained VQ tokenizer drives SegmentSynthesis end-to-end
+    (wav -> segment -> VQ tokenize -> decode -> CFM) on fresh held-out
+    audio and tracks loudness above the random-init band."""
+    from sylber_tpu.train.synthesis_loop import (_pearson,
+                                                 build_synthesis_corpus)
+
+    synth = vq_fixture["synth"]
+    corpus = build_synthesis_corpus(4, 5.0, seed=777001)
+    art, _ = synth.resynthesize(input_values=corpus["wav"], steps=16, seed=3,
+                                normthreshold=vq_fixture["norm_thr"],
+                                merge_threshold=0.8)
+    truth = np.asarray(corpus["art"], np.float32)
+    L = min(art.shape[1], truth.shape[1])
+    art, truth = art[:, :L], truth[:, :L]
+    assert np.isfinite(art).all()
+    loud_r = _pearson(art[..., 13].ravel(), truth[..., 13].ravel())
+    assert loud_r > 0.5, loud_r
+    if vq_fixture["supervised"]:
+        voiced = truth[..., 13] > 0.02
+        pitch_r = _pearson(art[..., 12][voiced], truth[..., 12][voiced])
+        assert pitch_r > 0.4, pitch_r

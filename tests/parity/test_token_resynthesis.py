@@ -289,3 +289,68 @@ def test_vq_chain_runs_live_on_heldout(vq_fixture):
         voiced = truth[..., 13] > 0.02
         pitch_r = _pearson(art[..., 12][voiced], truth[..., 12][voiced])
         assert pitch_r > 0.4, pitch_r
+
+
+def test_pitch_supervision_forces_pitch_into_codes():
+    """On a toy corpus where pitch is linearly decodable from the input
+    features, the auxiliary pitch head (straight-through, through the
+    quantized pitch sub-embedding) drives pitch_loss well below its
+    zero-prediction baseline — the mechanism behind the supervised VQ
+    fixture (unsupervised training measurably collapses pitch)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sylber_tpu.models.hubert import HubertConfig
+    from sylber_tpu.synthesis import (SegmentSynthesis, SynthesisConfig,
+                                      make_synthesis_optimizer)
+    from sylber_tpu.train.vq_synthesis import (
+        init_vq_synthesis_train_state, make_vq_synthesis_train_step,
+        quantizer_config_from_dict)
+
+    sc = SynthesisConfig.from_yaml_dict({
+        "encoding_layer": 1,
+        "input_configs": {"output_dim": 16, "hidden_dims": [16],
+                          "dropout": 0.0},
+        "regressor_configs": {"depth": 1, "dim": 32, "heads": 2,
+                              "dim_head": 16, "dim_in_proj": 16,
+                              "dim_cond_emb": 16, "sigma": 0.0},
+    })
+    sc = dataclasses.replace(sc, hubert=HubertConfig(
+        num_hidden_layers=1, hidden_size=24, num_attention_heads=4,
+        intermediate_size=32, conv_dim=(8,) * 7,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4))
+    synth = SegmentSynthesis(config=sc, seed=0)
+    qcfg = quantizer_config_from_dict(
+        {"output_dim": 12, "pitch_emb_dim": 4, "hidden_dims": [16],
+         "art_vq": {"codebook_size": 8},
+         # fast EMA decay: the toy codebook must track the moving encoder
+         # within a 200-step budget (prod uses 0.99 over 12k steps)
+         "pitch_vq": {"codebook_size": 16, "decay": 0.8}},
+        input_dim=24)
+    opt = make_synthesis_optimizer(lr=5e-3, warmup_steps=2, total_steps=250)
+    step = jax.jit(make_vq_synthesis_train_step(synth, qcfg, opt,
+                                                pitch_weight=4.0))
+    state = init_vq_synthesis_train_state(synth, qcfg, opt,
+                                          jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    pitch = rng.randn(4, 12).astype(np.float32)  # per-frame pitch target
+    feats = rng.randn(4, 12, 24).astype(np.float32) * 0.1
+    feats[..., 0] = pitch  # pitch linearly decodable from the features
+    art = np.zeros((4, 12, 14), np.float32)
+    art[..., 12] = pitch
+    art[..., 13] = 1.0  # all frames voiced
+    batch = {"features": jnp.asarray(feats), "art": jnp.asarray(art)}
+
+    first = None
+    for i in range(200):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(m["pitch_loss"])
+    last = float(m["pitch_loss"])
+    # zero-init head starts at the target second moment (~1.3 here);
+    # measured trajectory: 1.28 -> 0.24 by step 200
+    assert first > 0.5, first
+    assert last < 0.3 * first, (first, last)

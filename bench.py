@@ -287,6 +287,16 @@ def main():
     with open("BENCH_EXTRA.json", "w") as f:
         json.dump(extra, f, indent=2)
 
+    # fidelity gate on the DEFAULT longform transfer (BASELINE.md's 0.5%
+    # budget): int16-resident must agree with float32 windows to F1 >= 0.995
+    # at tol 0. Windows now compute at identical padded lengths (see
+    # longform._resident_program), so the only remaining difference is the
+    # int16 transfer quantization — a failure here means a real regression.
+    # Metrics above are already written/printed; fail loudly after.
+    assert extra["longform_int16_vs_f32_f1"] >= 0.995, (
+        "longform int16-resident default path drifted from float32 windows: "
+        f"boundary F1 {extra['longform_int16_vs_f32_f1']} < 0.995")
+
 
 if __name__ == "__main__":
     main()

@@ -172,6 +172,15 @@ class GroupedResidualVQConfig:
     decay: float = 0.99
     eps: float = 1e-5
     commitment_weight: float = 1.0
+    # EMA cluster-size floor below which a code is "dead" and gets reseeded
+    # from a random batch vector on the next `vq_ema_update(..., rng=...)`
+    # (vector-quantize-pytorch's threshold_ema_dead_code). Without this the
+    # N(0, 0.02^2)-init codebooks collapse onto ONE code for unit-normed
+    # inputs: a single code wins every assignment, EMA drags it to the data
+    # mean, and the rest stay at norm ~0.06 forever — measured on the r4
+    # pitch VQ as ridge r = 0.000 from the quantized embedding while the
+    # pre-VQ embedding decoded pitch at r = 0.884.
+    dead_threshold: float = 1.0
 
     @property
     def dim_group(self) -> int:
@@ -225,10 +234,35 @@ def vq_forward(state: VQState, cfg: GroupedResidualVQConfig, x: jnp.ndarray):
 
 
 def vq_ema_update(state: VQState, cfg: GroupedResidualVQConfig,
-                  x: jnp.ndarray, indices: jnp.ndarray) -> VQState:
-    """EMA k-means codebook update (vector-quantize-pytorch semantics)."""
+                  x: jnp.ndarray, indices: jnp.ndarray,
+                  rng: jax.Array = None,
+                  mask: jnp.ndarray = None) -> VQState:
+    """EMA k-means codebook update (vector-quantize-pytorch semantics).
+
+    ``mask`` (broadcastable to x's leading dims) excludes frames — e.g.
+    blanks, whose exact-zero vectors otherwise pollute the stats — from
+    both the EMA counts and the reseed pool. With ``rng`` set, codes whose
+    EMA cluster size fell below ``cfg.dead_threshold`` are reseeded from
+    random (masked-valid) batch vectors — vector-quantize-pytorch's
+    expired-code replacement, the piece whose absence collapsed the unit-
+    normed pitch VQ onto a single code (see GroupedResidualVQConfig).
+    Reseeded codes get cluster size ``2 * dead_threshold`` (a ~70-step
+    grace window at decay 0.99 before they can die again)."""
     parts = jnp.split(x.reshape(-1, cfg.dim), cfg.groups, axis=-1)
     flat_idx = indices.reshape(-1, cfg.groups * cfg.num_quantizers)
+    n_pts = flat_idx.shape[0]
+    if mask is not None:
+        m = jnp.broadcast_to(mask, x.shape[:-1]).reshape(n_pts)
+        m = m.astype(x.dtype)
+    else:
+        m = jnp.ones((n_pts,), x.dtype)
+    any_valid = m.sum() > 0
+    # one categorical draw of a valid point per (group, quantizer, code)
+    if rng is not None:
+        logits = jnp.where(m > 0, 0.0, -1e9)
+        sample_idx = jax.random.categorical(
+            rng, logits,
+            shape=(cfg.groups, cfg.num_quantizers, cfg.codebook_size))
     new_cb, new_sz, new_avg = [], [], []
     i = 0
     for g, part in enumerate(parts):
@@ -237,6 +271,7 @@ def vq_ema_update(state: VQState, cfg: GroupedResidualVQConfig,
         for q in range(cfg.num_quantizers):
             idx = flat_idx[:, i]
             onehot = jax.nn.one_hot(idx, cfg.codebook_size, dtype=part.dtype)
+            onehot = onehot * m[:, None]
             counts = onehot.sum(0)
             sums = onehot.T @ residual
             sz = state.cluster_sizes[g, q] * cfg.decay + counts * (1 - cfg.decay)
@@ -244,6 +279,13 @@ def vq_ema_update(state: VQState, cfg: GroupedResidualVQConfig,
             denom = jnp.maximum(sz, cfg.eps)[:, None]
             cb = jnp.where(counts[:, None] > 0, avg / denom,
                            state.codebooks[g, q])
+            if rng is not None:
+                dead = (sz < cfg.dead_threshold) & any_valid
+                seeds = residual[sample_idx[g, q]]  # (K, d_group)
+                grace = jnp.asarray(2.0 * cfg.dead_threshold, sz.dtype)
+                cb = jnp.where(dead[:, None], seeds, cb)
+                sz = jnp.where(dead, grace, sz)
+                avg = jnp.where(dead[:, None], seeds * grace, avg)
             residual = residual - state.codebooks[g, q][idx]
             g_cb.append(cb)
             g_sz.append(sz)

@@ -36,10 +36,14 @@ all window batches dispatch asynchronously before the first result is
 fetched. On the axon-tunneled v5e (~25 MB/s H2D) the transfer — not compute
 (~0.1 s of device time) — dominates long-form latency. Measured on the
 trained 768-d fixture (10-min recording): 439x RT resident vs 272x
-float32-window (1.6x), boundary F1 = 1.0 between the paths. The int16
-quantization
-(1/32767 of recording peak) sits far below bf16 resolution; parity mode
-(``transfer="float32"``) keeps the bit-exact float window path.
+float32-window (1.6x). The resident program computes windows at the SAME
+bucket-padded length the float path uses (the GroupNorm-over-padded-length
+quirk makes hidden states depend on padded length — mismatched padding cost
+1.6% boundary F1 in r4), so the paths differ only by the int16 transfer
+quantization (1/32767 of recording peak, far below bf16 resolution);
+bench.py gates their agreement at boundary F1 >= 0.995
+(``longform_int16_vs_f32_f1``). Parity mode (``transfer="float32"``) keeps
+the bit-exact float window path.
 """
 
 from __future__ import annotations
@@ -83,9 +87,10 @@ class LongFormSegmenter:
     ``return_hidden=False`` calls and uploads the recording once as
     peak-scaled int16, so those outputs are NOT bit-identical to the
     ``transfer="float32"`` window path (quantization 1/32767 of recording
-    peak — far below bf16 resolution; boundary F1 = 1.0 between the paths
-    on the trained 768-d fixture, gated by bench.py's
-    ``longform_int16_vs_f32_f1``). Parity-sensitive callers comparing
+    peak — far below bf16 resolution; window padding matches the float
+    path exactly, see ``_resident_program``; agreement gated at boundary
+    F1 >= 0.995 by bench.py's ``longform_int16_vs_f32_f1``).
+    Parity-sensitive callers comparing
     against the reference should pass ``transfer="float32"``.
     ``return_hidden=True`` always uses float32 windows (hidden states are
     a reference-parity surface).
@@ -178,7 +183,18 @@ class LongFormSegmenter:
         overlapping windows from the resident PCM buffer and run the fused
         forward+segment. Resident-buffer length is a dynamic-irrelevant
         operand only through the gather, but XLA specializes on shape, so
-        callers bucket it (60 s granularity) to bound compiles."""
+        callers bucket it (60 s granularity) to bound compiles.
+
+        The gather width is padded up to the float path's length bucket
+        (``Segmenter.process`` pads every batch to
+        ``round_up(max_len, length_bucket)``) with zeros beyond ``nvalid``:
+        the HF GroupNorm-over-padded-length quirk (models/hubert.py) makes
+        hidden states depend on the PADDED length, so computing the
+        resident windows at the exact window length while the float path
+        ran at the bucketed length made the two paths disagree on ~1.6% of
+        boundaries at tol 0 (r4 bench longform_int16_vs_f32_f1 = 0.984).
+        With matched padding the only remaining delta is the int16
+        transfer quantization itself."""
         if W in self._progs:
             return self._progs[W]
         import jax
@@ -189,11 +205,13 @@ class LongFormSegmenter:
 
         seg = self.segmenter
         model, config = seg.model, seg.config
+        lb = max(int(getattr(seg, "length_bucket", 1)), 1)
+        Wp = ((max(W, 400) + lb - 1) // lb) * lb  # == process's max_len
 
         def fwd(params, pcm, inv_scale, starts, nvalid, nt, mt):
-            idx = starts[:, None] * FRAME + jnp.arange(W)[None, :]
+            idx = starts[:, None] * FRAME + jnp.arange(Wp)[None, :]
             x = pcm[idx].astype(jnp.float32) * inv_scale
-            mask = (jnp.arange(W)[None, :] < nvalid[:, None]).astype(jnp.int32)
+            mask = (jnp.arange(Wp)[None, :] < nvalid[:, None]).astype(jnp.int32)
             x = x * mask
             hidden = model.apply({"params": params}, x, mask).astype(
                 jnp.float32)
@@ -227,8 +245,10 @@ class LongFormSegmenter:
         peak = float(np.abs(wav).max())
         scale = 32767.0 / max(peak, 1e-6)
         # bucket the resident buffer (60 s granularity) so recordings of
-        # similar length reuse one compiled program
-        need = starts[-1] * FRAME + W
+        # similar length reuse one compiled program; the gather reads the
+        # bucket-padded window width (see _resident_program)
+        lb = max(int(getattr(self.segmenter, "length_bucket", 1)), 1)
+        need = starts[-1] * FRAME + ((max(W, 400) + lb - 1) // lb) * lb
         bucket = 60 * 16000
         pad_len = ((need + bucket - 1) // bucket) * bucket
         pcm = np.zeros(pad_len, np.int16)

@@ -71,18 +71,21 @@ def quantizer_config_from_dict(d: Dict[str, Any],
 
 def make_vq_synthesis_train_step(synth, qcfg: QuantizerConfig, optimizer,
                                  commit_weight: float = 1.0,
-                                 pitch_weight: float = 1.0):
+                                 pitch_weight: float = 0.0):
     """(state, batch{features, art}, rng) -> (state, metrics); jittable.
 
-    ``pitch_weight`` scales an auxiliary pitch-supervision loss: a linear
-    head on the QUANTIZED pitch sub-embedding predicts the frame-rate
-    log-pitch truth over voiced in-segment frames. The reference's
-    ``Quantizer`` names an art/pitch sub-space split
-    (`quantizer.py:182-257`) but ships no training recipe; without any
-    supervision nothing forces pitch into the pitch VQ and joint VQ-VAE
-    training measurably collapses it (fixture at pitch corr 0.067 vs 0.87
-    for plain k-means tokens). The straight-through path makes the pitch
-    CODES carry the signal, not just the encoder."""
+    ``pitch_weight`` scales an auxiliary pitch-supervision loss (opt-in,
+    default 0.0 — matching the fixture gates' supervised-detection
+    default): a linear head on the QUANTIZED pitch sub-embedding predicts
+    the frame-rate log-pitch truth — scaled by ``pitch_amp`` so the aux
+    loss sits on the same scale as the CFM's pitch channel — over voiced
+    in-segment frames. The reference's ``Quantizer`` names an art/pitch
+    sub-space split (`quantizer.py:182-257`) but ships no training recipe;
+    without any supervision nothing ties the named pitch VQ to pitch. The
+    straight-through path makes the pitch CODES carry the signal, not just
+    the encoder. (The r4 pitch collapse itself was dead-code starvation in
+    the VQ, fixed by reseeding in ``vq_ema_update`` — supervision is the
+    belt on top of those braces.)"""
     import optax
 
     from ..flow.cfm import cfm_loss
@@ -128,7 +131,10 @@ def make_vq_synthesis_train_step(synth, qcfg: QuantizerConfig, optimizer,
             pred = pitch_emb @ head["kernel"] + head["bias"]
             voiced = batch["art"][..., 13] > 0.02
             pmask = (non_blank & voiced).astype(jnp.float32)
-            perr = (pred - batch["art"][..., 12]) ** 2
+            # supervise the pitch_amp-scaled target — the scale the CFM's
+            # pitch channel trains on — so pitch_weight=w means w× the
+            # decoder's per-channel squared-error scale, not w/amp²
+            perr = (pred - batch["art"][..., 12] * c.pitch_amp) ** 2
             pitch_loss = (perr * pmask).sum() / jnp.maximum(pmask.sum(), 1.0)
             total = (cfm + commit_weight * out["commitment_loss"]
                      + pitch_weight * pitch_loss)
@@ -149,16 +155,22 @@ def make_vq_synthesis_train_step(synth, qcfg: QuantizerConfig, optimizer,
         new_t = optax.apply_updates(trainable, updates)
 
         # EMA k-means codebook update from the pre-VQ encoder outputs
-        # (straight-through path above never updates codebooks)
+        # (straight-through path above never updates codebooks). Blanks are
+        # masked out of the stats — their exact-zero vectors are a fake
+        # cluster — and dead codes reseed from in-batch vectors (see
+        # flow/quantizer.vq_ema_update: without reseeding the unit-normed
+        # pitch VQ collapses onto one code).
         pre = aux["pre_vq"]
         idx = aux["indices"]
         n_art = qcfg.art_vq.groups * qcfg.art_vq.num_quantizers
+        k_art, k_pitch = jax.random.split(jax.random.fold_in(rng, 1))
         art_vq = vq_ema_update(state.quantizer.art_vq, qcfg.art_vq,
                                pre[..., : -qcfg.pitch_emb_dim],
-                               idx[..., :n_art])
+                               idx[..., :n_art], rng=k_art, mask=non_blank)
         pitch_vq = vq_ema_update(state.quantizer.pitch_vq, qcfg.pitch_vq,
                                  pre[..., -qcfg.pitch_emb_dim:],
-                                 idx[..., n_art:])
+                                 idx[..., n_art:], rng=k_pitch,
+                                 mask=non_blank)
 
         new_state = VQSynthState(
             state.step + 1,
@@ -301,7 +313,7 @@ def train_vq_synthesis(cfg: Dict[str, Any], out_dir: str = "runs/vq_synth",
         total_steps=total_steps,
         min_factor=train_cfg.get("min_factor", 0.05))
     commit_w = float(train_cfg.get("commit_weight", 1.0))
-    pitch_w = float(train_cfg.get("pitch_loss_weight", 1.0))
+    pitch_w = float(train_cfg.get("pitch_loss_weight", 0.0))
     step_fn = jax.jit(make_vq_synthesis_train_step(synth, qcfg, optimizer,
                                                    commit_weight=commit_w,
                                                    pitch_weight=pitch_w))

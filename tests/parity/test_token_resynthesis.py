@@ -316,6 +316,10 @@ def test_pitch_supervision_forces_pitch_into_codes():
         "regressor_configs": {"depth": 1, "dim": 32, "heads": 2,
                               "dim_head": 16, "dim_in_proj": 16,
                               "dim_cond_emb": 16, "sigma": 0.0},
+        # scale-neutral toy: the aux head supervises the pitch_amp-scaled
+        # target (the CFM's pitch-channel scale), so pin amp to 1 here to
+        # keep the mechanism check independent of the production amp
+        "pitch_amp": 1.0,
     })
     sc = dataclasses.replace(sc, hubert=HubertConfig(
         num_hidden_layers=1, hidden_size=24, num_attention_heads=4,

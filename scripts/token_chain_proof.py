@@ -46,8 +46,12 @@ from sylber_tpu.utils.platform import apply_jax_platform
 FIXTURES = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 
 
-def build_synth(quantizer=None, seed: int = 0):
-    """SegmentSynthesis over the trained mini encoder + trained mini CFM."""
+def build_synth(quantizer=None, seed: int = 0, style: str = "v1"):
+    """SegmentSynthesis over the trained mini encoder + trained mini CFM.
+
+    ``style="rich"`` loads the rich-corpus CFM fixture (mini_synth_rich.*,
+    trained by configs/sylber_resynthesis_rich_mini.yaml) over the SAME
+    frozen v1 encoder — it segments rich audio at boundary F1 0.936."""
     import yaml
 
     from sylber_tpu.io.checkpoint import load_params_npz
@@ -55,19 +59,22 @@ def build_synth(quantizer=None, seed: int = 0):
     from sylber_tpu.train.synthesis_loop import synthesis_config_from_dict
 
     root = FIXTURES.parent.parent
-    cfg = yaml.safe_load(open(root / "configs" / "sylber_resynthesis_mini.yaml"))
+    cfg_name = ("sylber_resynthesis_rich_mini.yaml" if style == "rich"
+                else "sylber_resynthesis_mini.yaml")
+    cfm_name = "mini_synth_rich.npz" if style == "rich" else "mini_synth.npz"
+    cfg = yaml.safe_load(open(root / "configs" / cfg_name))
     model_cfg = dict(cfg["model"])
     sc = synthesis_config_from_dict(model_cfg)
     synth = SegmentSynthesis(config=sc, quantizer=quantizer, seed=seed)
     enc = load_params_npz(str(FIXTURES / "mini_ckpt.npz"))
-    cfm = load_params_npz(str(FIXTURES / "mini_synth.npz"))
+    cfm = load_params_npz(str(FIXTURES / cfm_name))
     synth.params = SynthesisParams(enc, cfm["input_mlp"], cfm["regressor"])
     meta = json.loads((FIXTURES / "mini_ckpt.json").read_text())
     return synth, float(meta["norm_threshold"]), float(meta["merge_threshold"])
 
 
 def collect_segment_features(synth, norm_thr, merge_thr, n_utts=256,
-                             seconds=5.0, seed=0, batch=32):
+                             seconds=5.0, seed=0, batch=32, style="v1"):
     """Pooled segment features over the synthetic corpus (one fused
     program per batch: forward -> segment -> pool), stacked (N, d)."""
     import jax
@@ -76,7 +83,7 @@ def collect_segment_features(synth, norm_thr, merge_thr, n_utts=256,
     from sylber_tpu.ops.segment import segment_batch
     from sylber_tpu.train.synthesis_loop import build_synthesis_corpus
 
-    corpus = build_synthesis_corpus(n_utts, seconds, seed=seed)
+    corpus = build_synthesis_corpus(n_utts, seconds, seed=seed, style=style)
 
     @jax.jit
     def fwd(params, w):
@@ -134,20 +141,22 @@ def eval_chain(synth, norm_thr, merge_thr, heldout, steps=50, seed=0,
     }
 
 
-def vocoder_leg(art, heldout):
-    """Token-resynthesized art -> trained mini HiFi-GAN -> F0-track corr of
-    the generated audio vs the REAL waveform (autocorrelation tracker —
-    spectrum-argmax octave-errors, see train_vocoder_proof.py)."""
+def vocoder_leg(art, heldout, vocoder_prefix="mini_vocoder"):
+    """(Token-)resynthesized art -> trained mini HiFi-GAN -> per-utterance
+    MEAN-REMOVED F0-track corr of the generated audio vs the REAL waveform
+    (autocorrelation tracker — spectrum-argmax octave-errors, see
+    train_vocoder_proof.py). Mean removal makes this a pitch-MODULATION
+    metric: it scores the within-utterance F0 dynamics, not the register."""
     from train_vocoder_proof import f0_track_autocorr  # same scripts/ dir
 
     from sylber_tpu.io.checkpoint import load_params_npz
     from sylber_tpu.vocoder.hifigan import HiFiGANConfig
     from sylber_tpu.vocoder.sparc import SparcDecoder, SparcDecoderConfig
 
-    meta = json.loads((FIXTURES / "mini_vocoder.json").read_text())
+    meta = json.loads((FIXTURES / f"{vocoder_prefix}.json").read_text())
     dcfg = SparcDecoderConfig(generator=HiFiGANConfig(**meta["generator"]))
     dec = SparcDecoder(dcfg, params=load_params_npz(
-        str(FIXTURES / "mini_vocoder.npz")))
+        str(FIXTURES / f"{vocoder_prefix}.npz")))
     spk = np.zeros(dcfg.generator.cond_channels, np.float32)
     audio = np.asarray(dec(art, spk, meta["pitch_mean"]))
     BUF = 160
@@ -177,8 +186,15 @@ def main():
     ap.add_argument("--steps", type=int, default=50, help="ODE steps")
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--out", default=str(FIXTURES / "token_chain.json"))
+    ap.add_argument("--style", default="v1", choices=["v1", "rich"],
+                    help="synthetic corpus style; rich uses the "
+                         "mini_synth_rich CFM + mini_vocoder_rich fixtures "
+                         "and writes *_rich codebooks/table")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    suffix = "_rich" if args.style == "rich" else ""
+    if args.out is None:
+        args.out = str(FIXTURES / f"token_chain{suffix}.json")
 
     apply_jax_platform("cpu" if args.cpu else None)
     import jax
@@ -187,35 +203,44 @@ def main():
     from sylber_tpu.flow.quantizer import KMQuantizer
     from sylber_tpu.train.synthesis_loop import build_synthesis_corpus
 
-    print(f"backend: {jax.default_backend()}")
-    synth, norm_thr, merge_thr = build_synth()
+    print(f"backend: {jax.default_backend()} style: {args.style}")
+    vocoder_prefix = f"mini_vocoder{suffix}"
+    synth, norm_thr, merge_thr = build_synth(style=args.style)
 
     t0 = time.time()
     feats = collect_segment_features(synth, norm_thr, merge_thr,
                                      n_utts=args.n_utts,
-                                     seconds=args.seconds)
+                                     seconds=args.seconds, style=args.style)
     print(f"collected {feats.shape} segment features in "
           f"{time.time() - t0:.1f}s")
 
     heldout = build_synthesis_corpus(args.n_eval, args.seconds,
-                                     seed=90001)  # synthesis_loop eval seed
+                                     seed=90001,  # synthesis_loop eval seed
+                                     style=args.style)
 
     table = {}
+    # oracle leg: TRUE articulatory tracks through the vocoder — the
+    # ceiling the CFM legs are scored against (isolates the vocoder from
+    # the CFM's pitch-modulation fidelity, VERDICT r4 item 4)
+    table["true_art"] = {"vocoder": vocoder_leg(
+        np.asarray(heldout["art"], np.float32), heldout, vocoder_prefix)}
+    print("true_art:", json.dumps(table["true_art"]))
+
     # reference point: the continuous-feature chain (no quantizer)
     art_cont, m = eval_chain(synth, norm_thr, merge_thr, heldout,
                              steps=args.steps)
-    m["vocoder"] = vocoder_leg(art_cont, heldout)
+    m["vocoder"] = vocoder_leg(art_cont, heldout, vocoder_prefix)
     table["features"] = m
     print("features:", json.dumps(m))
 
     codebook_files = {}
     for K in args.sizes:
         cents, inertia = fit_kmeans(feats, K, seed=0)
-        path = FIXTURES / f"mini_codebook_{K}.npy"
+        path = FIXTURES / f"mini_codebook{suffix}_{K}.npy"
         np.save(path, cents.astype(np.float16))
         codebook_files[K] = path.name
         q = KMQuantizer(cents)
-        synth_q, _, _ = build_synth(quantizer=q)
+        synth_q, _, _ = build_synth(quantizer=q, style=args.style)
         art_q, m = eval_chain(synth_q, norm_thr, merge_thr, heldout,
                               steps=args.steps)
         # token stats on the held-out chain: distinct units used
@@ -223,15 +248,16 @@ def main():
             np.asarray(feats[: 4096], np.float32)))
         m["kmeans_inertia"] = float(inertia)
         m["codebook_usage"] = int(len(np.unique(toks)))
-        m["vocoder"] = vocoder_leg(art_q, heldout)
+        m["vocoder"] = vocoder_leg(art_q, heldout, vocoder_prefix)
         table[f"km{K}"] = m
         print(f"km{K}:", json.dumps(m))
 
     out = {
         "chain": "wav -> segment -> tokenize -> decode -> CFM -> vocoder",
+        "style": args.style,
         "encoder": "tests/fixtures/mini_ckpt.npz",
-        "cfm": "tests/fixtures/mini_synth.npz",
-        "vocoder_ckpt": "tests/fixtures/mini_vocoder.npz",
+        "cfm": f"tests/fixtures/mini_synth{suffix}.npz",
+        "vocoder_ckpt": f"tests/fixtures/{vocoder_prefix}.npz",
         "codebooks": codebook_files,
         "ode_steps": args.steps,
         "n_eval_utts": args.n_eval,

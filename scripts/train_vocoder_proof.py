@@ -63,7 +63,7 @@ GEN_CFG = {            # scaled-down HiFi-GAN v1 (full config is 14M params)
 }
 
 
-def build_corpus(n_utts: int, seed: int):
+def build_corpus(n_utts: int, seed: int, style: str = "v1"):
     """1-s (features, wav) crops; features via SparcDecoder.features_from_art
     so training matches the decode_audio conditioning exactly."""
     from sylber_tpu.data.synthetic import PITCH_MEAN, synth_utterance
@@ -72,7 +72,8 @@ def build_corpus(n_utts: int, seed: int):
     wavs, arts = [], []
     n = int(SECONDS * 16000)
     for _ in range(n_utts):
-        wav, _segs, art = synth_utterance(rng, 2 * n, return_art=True)
+        wav, _segs, art = synth_utterance(rng, 2 * n, return_art=True,
+                                          style=style)
         # random frame-aligned 1-s crop (biased into the utterance)
         s = rng.randint(0, FRAMES)
         wavs.append(wav[s * 320: s * 320 + n])
@@ -184,6 +185,12 @@ def main():
                          "batches shard over dp, GAN state replicates, "
                          "GSPMD inserts the gradient psum "
                          "(parallel/mesh.py)")
+    ap.add_argument("--style", default="v1", choices=["v1", "rich"],
+                    help="synthetic corpus style (rich: multi-speaker + "
+                         "phrase intonation, data/synthetic.py)")
+    ap.add_argument("--fixture-prefix", default="mini_vocoder",
+                    help="fixture basename; rich runs pass "
+                         "mini_vocoder_rich to keep the v1 fixture intact")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -205,9 +212,10 @@ def main():
     dcfg = SparcDecoderConfig(generator=gcfg)
     dec = SparcDecoder(dcfg)  # for features_from_art only
 
-    wavs, arts, pitch_mean = build_corpus(args.n_utts, seed=0)
+    wavs, arts, pitch_mean = build_corpus(args.n_utts, seed=0,
+                                          style=args.style)
     feats = np.asarray(dec.features_from_art(arts, pitch_mean))
-    ho_wavs, ho_arts, _ = build_corpus(24, seed=777)
+    ho_wavs, ho_arts, _ = build_corpus(24, seed=777, style=args.style)
     ho_feats = np.asarray(dec.features_from_art(ho_arts, pitch_mean))
 
     init_fn, step_fn = make_vocoder_train_step(vcfg)
@@ -262,16 +270,18 @@ def main():
 
         ev = evaluate(gen_apply, gen_params, ho_feats, ho_wavs, mel_cfg)
         print(f"eval @ {step_count}:", json.dumps(ev), flush=True)
-        save_params_npz(str(fd / "mini_vocoder.npz"),
+        save_params_npz(str(fd / f"{args.fixture_prefix}.npz"),
                         jax.device_get(gen_params), dtype=np.float16)
         meta = {"generator": GEN_CFG, "pitch_mean": pitch_mean,
                 "train": {"steps": step_count,
                           "batch_size": args.batch_size,
-                          "n_utts": args.n_utts},
+                          "n_utts": args.n_utts,
+                          "style": args.style},
                 "eval": ev, "eval_random_init": base}
-        (fd / "mini_vocoder.json").write_text(json.dumps(meta, indent=2))
-        print(f"fixture written to {fd}/mini_vocoder.npz "
-              f"({os.path.getsize(fd / 'mini_vocoder.npz') / 1e6:.1f} MB)",
+        (fd / f"{args.fixture_prefix}.json").write_text(
+            json.dumps(meta, indent=2))
+        print(f"fixture written to {fd}/{args.fixture_prefix}.npz "
+              f"({os.path.getsize(fd / (args.fixture_prefix + '.npz')) / 1e6:.1f} MB)",
               flush=True)
         return ev
 

@@ -271,7 +271,9 @@ class SyntheticSpeechDataset(SpeechDataset):
 
     def __init__(self, n_utts: int = 32, max_len: int = 80_000,
                  with_segments: bool = True, with_noise: bool = True,
-                 seed: int = 0, utt_seconds: Tuple[float, float] = (2.0, 8.0)):
+                 seed: int = 0, utt_seconds: Tuple[float, float] = (2.0, 8.0),
+                 style: str = "v1"):
+        self.style = style
         self.max_len = max_len
         self.max_frames = max_len // FRAME_SIZE
         self.rng = np.random.RandomState(seed)
@@ -295,7 +297,7 @@ class SyntheticSpeechDataset(SpeechDataset):
             return self._cache[i]
         rng = np.random.RandomState((hash((i, 1337)) ^ self.seed) % (2 ** 31))
         n = int(rng.uniform(*self.utt_seconds) * 16000)
-        wav, true_segs = synth_utterance(rng, n)
+        wav, true_segs = synth_utterance(rng, n, style=self.style)
 
         frame_len = len(wav) // FRAME_SIZE
         wav = wav[: frame_len * FRAME_SIZE]

@@ -34,6 +34,36 @@ FORMANT_BANK = np.stack([
     _BANK_RNG.uniform(900, 2800, 40),    # F2
 ], axis=1)
 
+# --- "rich" corpus style (style="rich") -----------------------------------
+# The v1 corpus saturates at ~265 distinct segment clusters (40 phonemes ×
+# small pitch/duration variation), which caps trainable-codebook proofs at
+# km1024 and makes pitch-correlation gates seed-sensitive on small evals.
+# The rich style widens every axis while keeping the analytic ground truth:
+#   - 160 phonemes with THREE formants (F1, F2, F3) — more spectral classes;
+#   - a discrete 12-speaker bank: vocal-tract length scaling of all formants
+#     plus a per-speaker pitch register spanning 85-280 Hz;
+#   - per-utterance phrase intonation — declination, 2-4 accent bumps, and
+#     an occasional final rise — that the f0 track follows CONTINUOUSLY, so
+#     per-utterance pitch *modulation* (mean-removed F0 dynamics) is a real
+#     learnable signal for the resynthesis stack, not jitter.
+# style="v1" (default) consumes the exact RNG sequence of the original
+# implementation, so every committed fixture and gate stays bit-identical.
+_RICH_BANK_RNG = np.random.RandomState(20250801)
+RICH_FORMANT_BANK = np.stack([
+    _RICH_BANK_RNG.uniform(280, 900, 160),      # F1
+    _RICH_BANK_RNG.uniform(900, 2500, 160),     # F2
+    _RICH_BANK_RNG.uniform(2500, 3400, 160),    # F3
+], axis=1)
+_RICH_ART_RNG = np.random.RandomState(20250802)
+RICH_ART_BANK = np.tanh(_RICH_ART_RNG.randn(160, 12) * 0.7).astype(np.float32)
+# (formant_scale, register_hz): 12 "speakers" covering short/long vocal
+# tracts and low/high pitch registers, deterministic across runs
+_SPK_RNG = np.random.RandomState(20250803)
+SPEAKER_BANK = np.stack([
+    _SPK_RNG.uniform(0.86, 1.14, 12),                      # formant scale
+    np.exp(_SPK_RNG.uniform(np.log(85.0), np.log(280.0), 12)),  # register
+], axis=1)
+
 # Analytic articulatory ground truth for the resynthesis stack. The real
 # corpus pairs speech with 12 EMA articulator dims + log-pitch + loudness
 # (SPARC features, `/root/reference/sylber/model/segment_synthesis.py:143-146`,
@@ -51,12 +81,19 @@ PITCH_MEAN = 120.0
 
 
 def _syllable(rng: np.random.RandomState, n: int, f0: float,
-              formants: np.ndarray):
-    """Returns (waveform, per-sample f0 track, per-sample envelope)."""
+              formants: np.ndarray, f0_track: np.ndarray = None):
+    """Returns (waveform, per-sample f0 track, per-sample envelope).
+
+    With ``f0_track`` (n,) given (rich style), the harmonics follow it;
+    otherwise the v1 per-syllable declination+vibrato shape is used.
+    ``f0`` still sets the harmonic count / formant sampling midpoint."""
     t = np.arange(n) / SR
-    # mild pitch declination + jitter
-    f0_t = f0 * (1.0 - 0.08 * t / max(t[-1], 1e-6)) \
-        * (1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t))
+    if f0_track is None:
+        # mild pitch declination + jitter
+        f0_t = f0 * (1.0 - 0.08 * t / max(t[-1], 1e-6)) \
+            * (1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t))
+    else:
+        f0_t = f0_track
     phase = np.cumsum(2 * np.pi * f0_t / SR)
     x = np.zeros(n)
     max_h = int(3500 / f0)
@@ -74,6 +111,32 @@ def _syllable(rng: np.random.RandomState, n: int, f0: float,
             env.astype(np.float32))
 
 
+def _phrase_contour(rng: np.random.RandomState, n_samples: int):
+    """Per-utterance log-pitch intonation contour (rich style).
+
+    Declination (0.10-0.35 log-units over the utterance) + 2-4 Gaussian
+    accent bumps (height 0.05-0.25 log-units) + a 30% final rise. Returned
+    as a callable over absolute sample positions so the f0 track follows
+    one continuous contour across syllables."""
+    decl = rng.uniform(0.10, 0.35)
+    n_acc = rng.randint(2, 5)
+    pos = rng.uniform(0.05, 0.9, n_acc)
+    width = rng.uniform(0.04, 0.12, n_acc)
+    height = rng.uniform(0.05, 0.25, n_acc)
+    rise = rng.uniform(0.10, 0.30) if rng.rand() < 0.3 else 0.0
+
+    def contour(samples: np.ndarray) -> np.ndarray:
+        u = samples / max(n_samples - 1, 1)
+        c = -decl * u
+        for p, w, h in zip(pos, width, height):
+            c = c + h * np.exp(-0.5 * ((u - p) / w) ** 2)
+        if rise:
+            c = c + rise * np.exp(-0.5 * ((u - 1.0) / 0.05) ** 2)
+        return c
+
+    return contour
+
+
 def synth_utterance(
     rng: np.random.RandomState,
     n_samples: int,
@@ -81,6 +144,7 @@ def synth_utterance(
     noise_level: float = 0.003,
     return_ids: bool = False,
     return_art: bool = False,
+    style: str = "v1",
 ) -> Tuple[np.ndarray, ...]:
     """Generate ``n_samples`` of audio.
 
@@ -95,14 +159,32 @@ def synth_utterance(
     loudness — the synthetic stand-in for SPARC features
     (`segment_synthesis.py:143-146`). Both flags consume no extra RNG draws,
     so cached datasets and fixtures remain bit-identical either way.
+
+    ``style="rich"`` switches to the enriched corpus: 160 three-formant
+    phonemes (:data:`RICH_FORMANT_BANK`), a 12-entry speaker bank
+    (formant scaling + 85-280 Hz pitch registers, :data:`SPEAKER_BANK`),
+    and a continuous per-utterance phrase-intonation contour
+    (:func:`_phrase_contour`). ``f0_range`` is ignored for rich (the
+    speaker register replaces it). The default ``"v1"`` consumes the exact
+    original RNG sequence, so existing fixtures stay bit-identical.
     """
+    rich = style == "rich"
+    if style not in ("v1", "rich"):
+        raise ValueError(f"unknown corpus style: {style!r}")
+    bank = RICH_FORMANT_BANK if rich else FORMANT_BANK
+    art_bank = RICH_ART_BANK if rich else ART_BANK
     wav = np.zeros(n_samples, np.float32)
     f0_track = np.zeros(n_samples, np.float32)
     env_track = np.zeros(n_samples, np.float32)
     id_track = np.zeros(n_samples, np.int64)
     segments = []
     ids = []
-    f0_base = rng.uniform(*f0_range)
+    if rich:
+        spk_scale, spk_reg = SPEAKER_BANK[rng.randint(len(SPEAKER_BANK))]
+        contour = _phrase_contour(rng, n_samples)
+        f0_base = spk_reg
+    else:
+        f0_base = rng.uniform(*f0_range)
     pos = rng.randint(0, 3) * FRAME  # small lead-in silence
     while pos < n_samples - 4 * FRAME:
         # syllable length 120-300 ms, snapped to whole frames
@@ -113,12 +195,25 @@ def synth_utterance(
             dur_frames = dur // FRAME
             if dur_frames < 4:
                 break
-        phoneme_id = rng.randint(len(FORMANT_BANK))
-        phoneme = FORMANT_BANK[phoneme_id]
+        phoneme_id = rng.randint(len(bank))
+        phoneme = bank[phoneme_id]
         ids.append(phoneme_id)
-        f0 = f0_base * rng.uniform(0.85, 1.2)
-        amp = rng.uniform(0.5, 1.0)
-        syl, f0_t, env = _syllable(rng, dur, f0, phoneme)
+        if rich:
+            phoneme = phoneme * spk_scale
+            # f0 follows the phrase contour continuously (+ per-syllable
+            # jitter); the midpoint value sets the harmonic count
+            jitter = rng.normal(0.0, 0.03)
+            samples = np.arange(pos, pos + dur)
+            f0_syl = (f0_base
+                      * np.exp(contour(samples) + jitter)).astype(np.float32)
+            f0 = float(f0_syl[dur // 2])
+            amp = rng.uniform(0.5, 1.0)
+            syl, f0_t, env = _syllable(rng, dur, f0, phoneme,
+                                       f0_track=f0_syl)
+        else:
+            f0 = f0_base * rng.uniform(0.85, 1.2)
+            amp = rng.uniform(0.5, 1.0)
+            syl, f0_t, env = _syllable(rng, dur, f0, phoneme)
         wav[pos: pos + dur] = amp * syl
         f0_track[pos: pos + dur] = f0_t
         env_track[pos: pos + dur] = env
@@ -144,7 +239,7 @@ def synth_utterance(
         art = np.zeros((n_frames, 14), np.float32)
         # envelope is nonzero only inside voiced spans, so silent frames
         # stay at the blank value (0) in every channel
-        art[:, :12] = env_track[centers, None] * ART_BANK[id_track[centers]]
+        art[:, :12] = env_track[centers, None] * art_bank[id_track[centers]]
         voiced = f0_track[centers] > 0
         art[voiced, 12] = np.log(f0_track[centers][voiced] / PITCH_MEAN)
         art[:, 13] = np.sqrt(

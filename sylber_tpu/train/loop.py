@@ -73,7 +73,7 @@ def build_dataset(data_cfg: Dict[str, Any], split: str = "train",
         return SyntheticSpeechDataset(
             n_utts=d.get("n_utts", 64), max_len=d.get("max_len", 80_000),
             with_segments=not d.get("segment_online_data", False),
-            seed=seed)
+            seed=seed, style=d.get("style", "v1"))
     files_key = {"train": "train_files", "valid": "val_files",
                  "test": "test_files"}[split]
     tags = load_manifest(d[files_key])

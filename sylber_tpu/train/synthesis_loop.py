@@ -47,12 +47,15 @@ BUFFER = 160  # reference zero-buffer at both ends (dataset collate semantics)
 # ---------------------------------------------------------------------------
 
 def build_synthesis_corpus(n_utts: int, seconds: float = 5.0,
-                           seed: int = 0) -> Dict[str, np.ndarray]:
+                           seed: int = 0,
+                           style: str = "v1") -> Dict[str, np.ndarray]:
     """(wav, art) pairs with analytic articulatory ground truth.
 
     wav: (N, S + 2*BUFFER) zero-mean/unit-var (collate semantics);
     art: (N, L, 14) at 50 Hz, L = S//FRAME (equal to the padded HuBERT
     frame count: buffered length S+320 -> (S+320-400)//320 + 1 = S//320).
+    ``style="rich"`` uses the enriched multi-speaker/intonation corpus
+    (data/synthetic.py) — the default "v1" keeps fixtures bit-identical.
     """
     from ..data.dataset import _zero_mean_unit_var
     from ..data.synthetic import synth_utterance
@@ -61,7 +64,8 @@ def build_synthesis_corpus(n_utts: int, seconds: float = 5.0,
     rng = np.random.RandomState(seed)
     wavs, arts = [], []
     for _ in range(n_utts):
-        wav, _segs, art = synth_utterance(rng, n_samples, return_art=True)
+        wav, _segs, art = synth_utterance(rng, n_samples, return_art=True,
+                                          style=style)
         wav = _zero_mean_unit_var(wav)
         wav = np.concatenate([np.zeros(BUFFER, np.float32), wav,
                               np.zeros(BUFFER, np.float32)])
@@ -224,7 +228,8 @@ def train_synthesis(
         "only the synthetic (wav, art) corpus is available offline"
     n_utts = data_cfg.get("n_utts", 256)
     seconds = data_cfg.get("seconds", 5.0)
-    corpus = build_synthesis_corpus(n_utts, seconds, seed=seed)
+    style = data_cfg.get("style", "v1")
+    corpus = build_synthesis_corpus(n_utts, seconds, seed=seed, style=style)
     t0 = time.time()
     features = precompute_features(synth.hubert, synth.params.hubert,
                                    corpus["wav"], norm_thr, merge_thr)
@@ -318,7 +323,8 @@ def train_synthesis(
     # ---- held-out gate ----
     ev_cfg = dict(cfg.get("eval", {}))
     n_eval = ev_cfg.get("n_utts", 24)
-    heldout = build_synthesis_corpus(n_eval, seconds, seed=seed + 90001)
+    heldout = build_synthesis_corpus(n_eval, seconds, seed=seed + 90001,
+                                     style=style)
     feats_ev = precompute_features(synth.hubert, synth.params.hubert,
                                    heldout["wav"], norm_thr, merge_thr)
     metrics = evaluate_synthesis(synth, feats_ev, heldout["art"],

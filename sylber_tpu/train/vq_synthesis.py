@@ -298,7 +298,8 @@ def train_vq_synthesis(cfg: Dict[str, Any], out_dir: str = "runs/vq_synth",
 
     n_utts = data_cfg.get("n_utts", 256)
     seconds = data_cfg.get("seconds", 5.0)
-    corpus = build_synthesis_corpus(n_utts, seconds, seed=seed)
+    style = data_cfg.get("style", "v1")
+    corpus = build_synthesis_corpus(n_utts, seconds, seed=seed, style=style)
     t0 = time.time()
     features = precompute_features(synth.hubert, synth.params.hubert,
                                    corpus["wav"], norm_thr, merge_thr)
@@ -384,7 +385,8 @@ def train_vq_synthesis(cfg: Dict[str, Any], out_dir: str = "runs/vq_synth",
                                         state.regressor)
     ev_cfg = dict(cfg.get("eval", {}))
     n_eval = ev_cfg.get("n_utts", 24)
-    heldout = build_synthesis_corpus(n_eval, seconds, seed=seed + 90001)
+    heldout = build_synthesis_corpus(n_eval, seconds, seed=seed + 90001,
+                                     style=style)
     metrics = _eval_token_chain(synth_eval, norm_thr, merge_thr, heldout,
                                 steps=eval_steps, seed=seed)
     logger.log(total_steps, metrics, prefix="eval")

@@ -41,6 +41,11 @@ def main(argv=None):
                     help="ODE steps for the held-out gate (demo uses 50)")
     ap.add_argument("--fixture-dir", default=None,
                     help="write mini_synth fixture (npz + json) here")
+    ap.add_argument("--fixture-prefix", default=None,
+                    help="fixture basename (default mini_synth, or "
+                         "mini_vq_synth with --tokens); rich-corpus runs "
+                         "pass e.g. mini_synth_rich to keep the v1 "
+                         "fixtures intact")
     ap.add_argument("--tokens", action="store_true",
                     help="jointly train the trainable grouped-residual-VQ "
                          "quantizer in the conditioning path (VQ-VAE style; "
@@ -68,13 +73,14 @@ def main(argv=None):
 
         fx = Path(args.fixture_dir)
         fx.mkdir(parents=True, exist_ok=True)
+        base = args.fixture_prefix or "mini_synth"
         params = jax.device_get(state.params)
-        save_params_npz(str(fx / "mini_synth.npz"),
+        save_params_npz(str(fx / f"{base}.npz"),
                         {"input_mlp": params.input_mlp,
                          "regressor": params.regressor})
         meta = {"config": cfg, "eval": metrics}
-        (fx / "mini_synth.json").write_text(json.dumps(meta, indent=1))
-        print(f"fixture written to {fx}/mini_synth.npz")
+        (fx / f"{base}.json").write_text(json.dumps(meta, indent=1))
+        print(f"fixture written to {fx}/{base}.npz")
     return 0
 
 
@@ -94,17 +100,18 @@ def _main_tokens(cfg, out_dir, args):
     if args.fixture_dir:
         fx = Path(args.fixture_dir)
         fx.mkdir(parents=True, exist_ok=True)
+        base = args.fixture_prefix or "mini_vq_synth"
+        tok_name = base.replace("_synth", "_tokenizer")
         tok = TrainedVQTokenizer(jax.device_get(state.quantizer), qcfg)
-        tok.save_npz(str(fx / "mini_vq_tokenizer.npz"))
-        save_params_npz(str(fx / "mini_vq_synth.npz"),
+        tok.save_npz(str(fx / f"{tok_name}.npz"))
+        save_params_npz(str(fx / f"{base}.npz"),
                         {"input_mlp": jax.device_get(state.input_mlp),
                          "regressor": jax.device_get(state.regressor)})
         meta = {"config": cfg,
                 "quantizer_config": dataclasses.asdict(qcfg),
                 "eval": metrics}
-        (fx / "mini_vq_synth.json").write_text(json.dumps(meta, indent=1))
-        print(f"fixtures written to {fx}/mini_vq_tokenizer.npz + "
-              "mini_vq_synth.npz")
+        (fx / f"{base}.json").write_text(json.dumps(meta, indent=1))
+        print(f"fixtures written to {fx}/{tok_name}.npz + {base}.npz")
     return 0
 
 

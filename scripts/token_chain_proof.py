@@ -41,7 +41,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sylber_tpu.utils.platform import apply_jax_platform
+from sylber_tpu.utils.platform import (apply_jax_platform,
+                                        enable_compilation_cache)
 
 FIXTURES = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 
@@ -197,6 +198,7 @@ def main():
         args.out = str(FIXTURES / f"token_chain{suffix}.json")
 
     apply_jax_platform("cpu" if args.cpu else None)
+    enable_compilation_cache()
     import jax
 
     from sylber_tpu.flow.kmeans import fit_kmeans

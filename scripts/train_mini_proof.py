@@ -30,9 +30,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sylber_tpu.utils.platform import apply_jax_platform
+from sylber_tpu.utils.platform import apply_jax_platform, enable_compilation_cache
 
 apply_jax_platform()  # axon ignores $JAX_PLATFORMS; must go through jax.config
+enable_compilation_cache()
 
 MINI_HUBERT = {
     "hidden_size": 144,

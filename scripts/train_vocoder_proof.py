@@ -46,7 +46,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sylber_tpu.utils.platform import apply_jax_platform
+from sylber_tpu.utils.platform import (apply_jax_platform,
+                                        enable_compilation_cache)
 
 SECONDS = 1.0          # crop length: 50 frames -> 16000 samples
 FRAMES = int(SECONDS * 50)
@@ -195,6 +196,7 @@ def main():
     args = ap.parse_args()
 
     apply_jax_platform("cpu" if args.cpu else None)
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp

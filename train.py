@@ -26,6 +26,13 @@ if os.environ.get("JAX_PLATFORMS"):
     except RuntimeError:
         pass
 
+# Persistent XLA cache: tunnel-attached TPU compiles run 30-250 s for
+# single-step programs and ~30 MINUTES for the steps_per_dispatch=8 scan
+# program (measured, scripts/loop_gap_probe.py) — pay them once.
+from sylber_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def load_init_params(cfg):
     path = cfg.get("speech_model_ckpt") or cfg.get("model_ckpt")

@@ -26,9 +26,10 @@ from pathlib import Path
 
 import yaml
 
-from sylber_tpu.utils.platform import apply_jax_platform
+from sylber_tpu.utils.platform import apply_jax_platform, enable_compilation_cache
 
 apply_jax_platform()  # axon ignores $JAX_PLATFORMS; must go through jax.config
+enable_compilation_cache()  # K=8 scan programs compile ~30 min on the tunnel
 
 
 def main(argv=None):

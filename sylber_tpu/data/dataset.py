@@ -86,6 +86,7 @@ class SpeechDataset:
             self.noise_files = sorted(nd.glob("*.wav")) + sorted(nd.glob("*.flac"))
         else:
             self.noise_files = None
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -213,17 +214,100 @@ class SpeechDataset:
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 drop_last: bool = True,
-                transfer: str = "float32"
+                transfer: str = "float32",
+                workers: int = 0
                 ) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of collated batches.
+
+        ``workers > 0`` assembles batches in that many forked worker
+        processes (decode + crop + noise + collate all off the main
+        thread) — the replacement for the reference's
+        ``num_workers: 16`` DataLoader (`sylber_base.yaml:37`). Each
+        batch's RNG is seeded from ``(self.seed, batch_index)``, so the
+        worker-mode sample stream is deterministic and worker-count-
+        invariant (it differs from the single-thread stream, which threads
+        one RNG through the whole epoch). Throughput scales with cores:
+        FLAC decode dominates the ~10 ms/item cost (scripts/ingest_probe.py).
+        """
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
+        starts = []
         for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                        batch_size):
-            idx = order[i: i + batch_size]
-            if len(idx) < batch_size and drop_last:
+            if i + batch_size > len(order) and drop_last:
                 break
+            starts.append(i)
+        if workers:
+            yield from _mp_batches(self, order, starts, batch_size,
+                                   transfer, workers)
+            return
+        for i in starts:
+            idx = order[i: i + batch_size]
             yield self.collate([self[j] for j in idx], transfer=transfer)
+
+
+def _mp_worker(ds, transfer: str, task_q, out_q) -> None:
+    """Worker-process loop for :func:`_mp_batches` (module-level so the
+    forkserver/spawn start methods can import it)."""
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        b, idx = task
+        ds.rng = np.random.RandomState(
+            (1_000_003 * (getattr(ds, "seed", 0) + 1) + b) % (2 ** 31))
+        out_q.put((b, ds.collate([ds[j] for j in idx], transfer=transfer)))
+
+
+def _mp_batches(ds, order: np.ndarray, starts: List[int], batch_size: int,
+                transfer: str, workers: int
+                ) -> Iterator[Dict[str, np.ndarray]]:
+    """Process-pool batch assembly behind ``SpeechDataset.batches``.
+
+    One task = one whole batch (decode + crop + noise + collate), so the
+    per-batch work — dominated by FLAC decode at ~10 ms/item
+    (scripts/ingest_probe.py) — parallelizes across cores with no
+    cross-item coordination. Workers seed their process-local ``ds.rng``
+    from ``(ds.seed, batch_index)``: the stream is deterministic and
+    invariant to the worker count. Results are re-ordered to the epoch's
+    batch order before yielding, so downstream consumers see the same
+    sequence regardless of completion order.
+
+    Start method is ``forkserver`` (fallback ``spawn``): the training
+    process has JAX's thread pool running, and ``os.fork()`` from a
+    multithreaded process can deadlock in the child (JAX warns
+    explicitly). Both methods require the dataset to be picklable — it
+    is — and cost ~1 s of worker spin-up once per epoch."""
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("forkserver")
+    except ValueError:  # platform without forkserver
+        ctx = mp.get_context("spawn")
+    task_q = ctx.Queue()
+    out_q = ctx.Queue(maxsize=2 * workers)
+
+    procs = [ctx.Process(target=_mp_worker, args=(ds, transfer, task_q, out_q),
+                         daemon=True) for _ in range(workers)]
+    for p in procs:
+        p.start()
+    for b, i in enumerate(starts):
+        task_q.put((b, order[i: i + batch_size]))
+    for _ in procs:
+        task_q.put(None)
+    try:
+        pending: Dict[int, Dict] = {}
+        for want in range(len(starts)):
+            while want not in pending:
+                b, batch = out_q.get()
+                pending[b] = batch
+            yield pending.pop(want)
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join()
 
 
 def prefetch(it: Iterator, depth: int = 2, transform=None) -> Iterator:

@@ -84,11 +84,11 @@ def build_dataset(data_cfg: Dict[str, Any], split: str = "train",
 
 
 def _epoch_stream(dataset: SpeechDataset, batch_size: int, shuffle: bool,
-                  transfer: str = "float32"
+                  transfer: str = "float32", workers: int = 0
                   ) -> Iterator[Dict[str, np.ndarray]]:
     while True:
         yield from dataset.batches(batch_size, shuffle=shuffle,
-                                   transfer=transfer)
+                                   transfer=transfer, workers=workers)
 
 
 class MetricLogger:
@@ -262,9 +262,13 @@ def train(
         stream = device_stream(train_ds, batch_size, mesh, transfer=transfer,
                                shuffle=True, seed=data_seed)
     else:
+        # data.num_workers (reference sylber_base.yaml:37): forked
+        # process-pool batch assembly — FLAC decode dominates host-streamed
+        # ingestion (~10 ms/item) and scales with cores, not threads
         stream = prefetch(
             _epoch_stream(train_ds, batch_size, shuffle=True,
-                          transfer=transfer),
+                          transfer=transfer,
+                          workers=int(data_cfg.get("num_workers", 0))),
             transform=lambda b: shard_batch(b, mesh))
 
     # buffer donation halves train-state memory on TPU; the XLA CPU runtime

@@ -154,3 +154,50 @@ def test_int16_transfer_equivalent_to_float_collate():
     # padding stays exactly zero
     pad = bf["attention_mask"] == 0
     assert np.abs(dev[pad]).max() == 0.0
+
+
+def test_mp_batches_deterministic_and_worker_count_invariant(corpus):
+    """workers>0 assembles batches in forked processes; the stream must be
+    (a) complete and correctly shaped, (b) deterministic across runs, and
+    (c) invariant to the worker count (per-batch RNG is seeded from
+    (dataset seed, batch index), not from which worker ran it)."""
+    wav_dir, seg_dir, noise_dir, manifest = corpus
+    tags = load_manifest([(1.0, str(manifest))])
+
+    def run(workers, seed=7):
+        ds = SpeechDataset([str(wav_dir)], tags, data_dir=str(seg_dir),
+                           noise_dir=str(noise_dir), max_len=32000,
+                           seed=seed)
+        return list(ds.batches(2, shuffle=True, drop_last=False,
+                               transfer="int16", workers=workers))
+
+    w1 = run(1)
+    w2 = run(2)
+    w1b = run(1)
+    assert len(w1) == len(w2) == 2  # 3 utts, batch 2, keep-last
+    for a, b, c in zip(w1, w2, w1b):
+        for k in ("input_values", "attention_mask", "segments",
+                  "num_segments", "noise"):
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])
+    assert w1[0]["input_values"].shape[0] == 2
+    assert w1[0]["input_values"].dtype == np.int16
+
+
+def test_mp_batches_matches_single_thread_items(corpus):
+    """With noise/crop randomness removed (short utts, no noise dir), the
+    worker path must produce byte-identical batches to the single-thread
+    path under the same epoch order (shuffle=False)."""
+    wav_dir, seg_dir, _, manifest = corpus
+    tags = load_manifest([(1.0, str(manifest))])
+    ds0 = SpeechDataset([str(wav_dir)], tags, data_dir=str(seg_dir),
+                        max_len=400_000, seed=3)
+    ds1 = SpeechDataset([str(wav_dir)], tags, data_dir=str(seg_dir),
+                        max_len=400_000, seed=3)
+    single = list(ds0.batches(2, shuffle=False, drop_last=False))
+    multi = list(ds1.batches(2, shuffle=False, drop_last=False, workers=2))
+    assert len(single) == len(multi)
+    for a, b in zip(single, multi):
+        for k in ("input_values", "attention_mask", "segments",
+                  "num_segments"):
+            np.testing.assert_array_equal(a[k], b[k])

@@ -194,3 +194,23 @@ def test_segmenter_on_flac_file():
     assert np.array_equal(out_f["segments"], out_w["segments"])
     np.testing.assert_allclose(out_f["segment_features"],
                                out_w["segment_features"], rtol=0, atol=0)
+
+
+def test_load_wav_sndfile_dispatch_matches_own_decoder(tmp_path):
+    """load_wav prefers libsndfile for FLAC (2x faster decode — the
+    ingestion hot path, scripts/ingest_probe.py); its float32 output must
+    be bit-identical to the framework decoder's pcm / 2^(bps-1) scaling."""
+    sndfile = _sndfile_or_skip()
+    from sylber_tpu.utils.audio import load_wav
+    from sylber_tpu.utils.flac import decode_flac_file
+
+    rng = np.random.RandomState(99)
+    pcm = _synth(rng, 20000)
+    f = tmp_path / "x.flac"
+    sndfile.write(f, pcm, 16000)
+
+    via_dispatch, sr = load_wav(f)
+    own, osr, bps = decode_flac_file(f)
+    assert sr == osr == 16000 and bps == 16
+    np.testing.assert_array_equal(
+        via_dispatch, own.astype(np.float32) / float(1 << (bps - 1)))

@@ -50,9 +50,11 @@ def _speech_pool(rng, n_pool=48, max_s=20.0):
 
 
 def main():
-    from sylber_tpu.utils.platform import apply_jax_platform
+    from sylber_tpu.utils.platform import (apply_jax_platform,
+                                           enable_compilation_cache)
 
     apply_jax_platform()  # honor JAX_PLATFORMS even on axon (CPU verify)
+    enable_compilation_cache()  # the length-bucket matrix compiles once
 
     import jax
     import jax.numpy as jnp

@@ -69,12 +69,15 @@ def _model_cfg(stage2: bool, thr: dict | None, lr: float, steps: int,
     return m
 
 
-def _data_cfg(n_utts: int, stage2: bool, batch_size: int):
+def _data_cfg(n_utts: int, stage2: bool, batch_size: int,
+              style: str = "v1"):
     return {"synthetic": True, "n_utts": n_utts, "max_len": 80_000,
-            "batch_size": batch_size, "segment_online_data": stage2}
+            "batch_size": batch_size, "segment_online_data": stage2,
+            "style": style}
 
 
-def measure_norm_stats(params, hubert_config, seed=123, n_utts=8):
+def measure_norm_stats(params, hubert_config, seed=123, n_utts=8,
+                       style="v1"):
     """Teacher frame-norm stats over voiced/silence frames (ground truth),
     to initialize the stage-2 thresholder for this model's norm scale."""
     import jax.numpy as jnp
@@ -86,7 +89,7 @@ def measure_norm_stats(params, hubert_config, seed=123, n_utts=8):
     rng = np.random.RandomState(seed)
     sig, noi = [], []
     for _ in range(n_utts):
-        wav, segs = synth_utterance(rng, 5 * 16000)
+        wav, segs = synth_utterance(rng, 5 * 16000, style=style)
         w = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
         h = np.asarray(model.apply({"params": params},
                                    jnp.asarray(w[None]), None))
@@ -103,7 +106,7 @@ def measure_norm_stats(params, hubert_config, seed=123, n_utts=8):
 
 
 def evaluate(params, hubert_config, norm_threshold, merge_threshold=0.8,
-             n_utts=24, seed=7777):
+             n_utts=24, seed=7777, style="v1"):
     """Held-out eval: F1 vs ground truth + fast-vs-exact agreement."""
     import jax.numpy as jnp
 
@@ -116,7 +119,7 @@ def evaluate(params, hubert_config, norm_threshold, merge_threshold=0.8,
     wavs, truths = [], []
     for _ in range(n_utts):
         n = int(rng.uniform(3.0, 8.0) * 16000)
-        wav, segs = synth_utterance(rng, n)
+        wav, segs = synth_utterance(rng, n, style=style)
         wavs.append((wav - wav.mean()) / (wav.std(ddof=1) + 1e-12))
         truths.append(segs)
 
@@ -170,6 +173,10 @@ def main():
     ap.add_argument("--n-utts", type=int, default=256)
     ap.add_argument("--fixture-dir", default=None,
                     help="write mini_ckpt fixture here (e.g. tests/fixtures)")
+    ap.add_argument("--style", default="v1", choices=["v1", "rich"],
+                    help="synthetic corpus style (rich: multi-speaker + "
+                         "phrase intonation); fixture name gains a _rich "
+                         "suffix")
     ap.add_argument("--full", action="store_true",
                     help="full-width 768-d HuBERT-base (default hubert "
                          "config) instead of the 144-d mini; fixture name "
@@ -178,6 +185,8 @@ def main():
     args = ap.parse_args()
     hub_dict = {} if args.full else MINI_HUBERT
     fixture_name = "full_ckpt" if args.full else "mini_ckpt"
+    if args.style != "v1":
+        fixture_name += f"_{args.style}"
 
     import jax
     import jax.numpy as jnp
@@ -194,7 +203,8 @@ def main():
         "name": "mini_stage1", "seed": 0,
         "model": _model_cfg(False, None, lr=5e-4 if not args.full else 2e-4,
                             steps=args.stage1_steps, hub_dict=hub_dict),
-        "data": _data_cfg(args.n_utts, False, args.batch_size),
+        "data": _data_cfg(args.n_utts, False, args.batch_size,
+                          style=args.style),
         "max_steps": args.stage1_steps,
         # K steps per dispatch: identical math (f32 + threefry here; the
         # loop tests pin loss/param equality), ~1/K the host/dispatch work
@@ -210,7 +220,7 @@ def main():
                           for k, v in hub_dict.items()})
 
     # ---- thresholder init from measured stage-1 norm stats ----
-    thr_stats = measure_norm_stats(params1, hub)
+    thr_stats = measure_norm_stats(params1, hub, style=args.style)
     print("measured norm stats:", json.dumps(thr_stats))
 
     # ---- stage 2: online segmentation ----
@@ -219,7 +229,8 @@ def main():
         "model": _model_cfg(True, thr_stats, lr=2e-4 if not args.full
                             else 1e-4, steps=args.stage2_steps,
                             hub_dict=hub_dict),
-        "data": _data_cfg(args.n_utts, True, args.batch_size),
+        "data": _data_cfg(args.n_utts, True, args.batch_size,
+                          style=args.style),
         "max_steps": args.stage2_steps,
         "steps_per_dispatch": 8,
     }
@@ -233,7 +244,7 @@ def main():
     print(f"learned norm threshold: {learned_thr:.4f}")
 
     # ---- held-out evaluation ----
-    results = evaluate(params2, hub, learned_thr)
+    results = evaluate(params2, hub, learned_thr, style=args.style)
     print(json.dumps(results, indent=2))
 
     if args.fixture_dir:
@@ -245,7 +256,7 @@ def main():
                         dtype=np.float16)
         meta = {"hubert": hub_dict, "encoding_layer": 9,
                 "norm_threshold": learned_thr, "merge_threshold": 0.8,
-                "thresholder_stats": thr_stats,
+                "thresholder_stats": thr_stats, "style": args.style,
                 "train": {"stage1_steps": args.stage1_steps,
                           "stage2_steps": args.stage2_steps,
                           "batch_size": args.batch_size,

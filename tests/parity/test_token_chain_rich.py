@@ -106,3 +106,109 @@ def test_rich_codebooks_checked_in(table):
         p = FIXTURES / fname
         assert p.exists(), p
         assert np.load(p).shape[0] == int(K)
+
+
+# ---------------------------------------------------------------------------
+# rich trained grouped-residual VQ (jointly trained with the CFM)
+# ---------------------------------------------------------------------------
+
+VQ_CKPT = FIXTURES / "mini_vq_synth_rich.npz"
+VQ_TOK = FIXTURES / "mini_vq_tokenizer_rich.npz"
+VQ_META = FIXTURES / "mini_vq_synth_rich.json"
+ENC = FIXTURES / "mini_ckpt.npz"
+
+_vq_skip = pytest.mark.skipif(
+    not (VQ_CKPT.exists() and VQ_TOK.exists() and VQ_META.exists()
+         and ENC.exists()),
+    reason="rich trained VQ fixture not built (train_synthesis.py --tokens "
+           "--config configs/sylber_resynthesis_tokens_rich_mini.yaml "
+           "--fixture-dir tests/fixtures --fixture-prefix "
+           "mini_vq_synth_rich)")
+
+
+@pytest.fixture(scope="module")
+def rich_vq():
+    from sylber_tpu.flow.quantizer import (GroupedResidualVQConfig,
+                                           QuantizerConfig)
+    from sylber_tpu.io.checkpoint import load_params_npz
+    from sylber_tpu.synthesis import SegmentSynthesis, SynthesisParams
+    from sylber_tpu.train.synthesis_loop import synthesis_config_from_dict
+    from sylber_tpu.train.vq_synthesis import TrainedVQTokenizer
+
+    meta = json.loads(VQ_META.read_text())
+    qd = meta["quantizer_config"]
+    qcfg = QuantizerConfig(
+        input_dim=qd["input_dim"], output_dim=qd["output_dim"],
+        hidden_dims=tuple(qd["hidden_dims"]),
+        pitch_emb_dim=qd["pitch_emb_dim"],
+        art_vq=GroupedResidualVQConfig(**qd["art_vq"]),
+        pitch_vq=GroupedResidualVQConfig(**qd["pitch_vq"]),
+        unit_norm_encoder_input=qd["unit_norm_encoder_input"],
+        unit_norm_encoder_output=qd["unit_norm_encoder_output"],
+        keep_blank_zero=qd["keep_blank_zero"],
+        separate_norm=qd["separate_norm"])
+    tok = TrainedVQTokenizer.load_npz(str(VQ_TOK), qcfg)
+    model_cfg = meta["config"]["model"]
+    sc = synthesis_config_from_dict(model_cfg)
+    trained = load_params_npz(str(VQ_CKPT))
+    enc = load_params_npz(str(ENC))
+    synth = SegmentSynthesis(config=sc, quantizer=tok)
+    synth.params = SynthesisParams(enc, trained["input_mlp"],
+                                   trained["regressor"])
+    return {"synth": synth, "tok": tok, "meta": meta,
+            "norm_thr": float(model_cfg["norm_threshold"])}
+
+
+@_vq_skip
+def test_rich_vq_recorded_eval(rich_vq):
+    """48-utt recorded eval of the jointly-trained 512-art + 64-pitch VQ
+    (reference Quantizer's art/pitch split scaled to the rich corpus):
+    pitch at parity with the continuous chain (measured 0.908 vs 0.916)."""
+    ev = rich_vq["meta"]["eval"]
+    assert ev["n_eval_utts"] >= 48, ev
+    assert ev["pitch_corr"] > 0.7, ev
+    assert ev["loud_corr"] > 0.6, ev
+    assert ev["pitch_l1_voiced"] < 0.2, ev
+
+
+@_vq_skip
+def test_rich_vq_chain_live_on_heldout(rich_vq):
+    """The trained VQ tokenizer drives SegmentSynthesis live on fresh rich
+    audio: wav -> segment -> VQ encode/quantize/decode -> CFM."""
+    from sylber_tpu.train.synthesis_loop import (_pearson,
+                                                 build_synthesis_corpus)
+
+    synth = rich_vq["synth"]
+    corpus = build_synthesis_corpus(4, 5.0, seed=888111, style="rich")
+    art, _ = synth.resynthesize(input_values=corpus["wav"], steps=16, seed=3,
+                                normthreshold=rich_vq["norm_thr"],
+                                merge_threshold=0.8)
+    truth = np.asarray(corpus["art"], np.float32)
+    L = min(art.shape[1], truth.shape[1])
+    art, truth = art[:, :L], truth[:, :L]
+    assert np.isfinite(art).all()
+    loud_r = _pearson(art[..., 13].ravel(), truth[..., 13].ravel())
+    assert loud_r > 0.5, loud_r
+    voiced = truth[..., 13] > 0.02
+    pitch_r = _pearson(art[..., 12][voiced], truth[..., 12][voiced])
+    assert pitch_r > 0.4, pitch_r
+
+
+@_vq_skip
+def test_rich_vq_uses_both_subspaces(rich_vq):
+    """Art and pitch codebooks are both non-degenerate on rich features:
+    many distinct codes in use (the r4 collapse mode was ONE pitch code
+    winning every assignment)."""
+    import jax.numpy as jnp
+
+    tok = rich_vq["tok"]
+    rng = np.random.RandomState(0)
+    # probe the tokenizer on unit-scale feature-like inputs spanning the
+    # corpus: use the checked-in km256 rich centroids as realistic probes
+    probes = np.load(FIXTURES / "mini_codebook_rich_256.npy").astype(
+        np.float32)
+    ids = np.asarray(tok.get_indices(jnp.asarray(probes[None])))[0]
+    art_used = len(np.unique(ids[:, 0]))
+    pitch_used = len(np.unique(ids[:, 1]))
+    assert art_used > 64, art_used
+    assert pitch_used > 8, pitch_used

@@ -79,6 +79,26 @@ ART_BANK = np.tanh(_ART_RNG.randn(len(FORMANT_BANK), 12) * 0.7) \
 # the demo's exp(pitch) * pitch_mean decode convention (demo.ipynb cell 11)
 PITCH_MEAN = 120.0
 
+# --- "continuum" corpus style (style="continuum") --------------------------
+# The rich style's segment features still live on a DISCRETE grid (160
+# phonemes x 12 speakers): k-means at 4096 centroids recovers only ~1100
+# distinct clusters with near-zero inertia, so the reference's headline
+# 5K/10K/20K-unit codebooks (`/root/reference/docs/index.html`) cannot be
+# meaningfully fitted. The continuum style keeps the rich machinery (three
+# formants, phrase intonation, analytic ground truth) but makes the feature
+# distribution continuous, like real speech:
+#   - speaker parameters sampled per utterance from CONTINUOUS ranges
+#     (formant scale 0.84-1.16, register 82-285 Hz) instead of a 12-row bank;
+#   - per-syllable formant perturbation (lognormal sigma 0.035 per formant),
+#     so every syllable token is a unique point near its phoneme class;
+#   - per-syllable articulatory perturbation (sigma 0.12, clipped) so the
+#     analytic art truth tracks the perturbed acoustics and quantized-feature
+#     decodability evals stay well-posed.
+# New style => no RNG-sequence compatibility constraints; v1/rich fixtures
+# are untouched.
+_CONT_F_SIGMA = 0.035
+_CONT_ART_SIGMA = 0.12
+
 
 def _syllable(rng: np.random.RandomState, n: int, f0: float,
               formants: np.ndarray, f0_track: np.ndarray = None):
@@ -165,12 +185,16 @@ def synth_utterance(
     (formant scaling + 85-280 Hz pitch registers, :data:`SPEAKER_BANK`),
     and a continuous per-utterance phrase-intonation contour
     (:func:`_phrase_contour`). ``f0_range`` is ignored for rich (the
-    speaker register replaces it). The default ``"v1"`` consumes the exact
-    original RNG sequence, so existing fixtures stay bit-identical.
+    speaker register replaces it). ``style="continuum"`` additionally makes
+    speakers and syllable tokens CONTINUOUS (see the module-level comment) —
+    the corpus for production-scale (5K-20K unit) codebook fits. The default
+    ``"v1"`` consumes the exact original RNG sequence, so existing fixtures
+    stay bit-identical.
     """
-    rich = style == "rich"
-    if style not in ("v1", "rich"):
+    if style not in ("v1", "rich", "continuum"):
         raise ValueError(f"unknown corpus style: {style!r}")
+    rich = style in ("rich", "continuum")
+    continuum = style == "continuum"
     bank = RICH_FORMANT_BANK if rich else FORMANT_BANK
     art_bank = RICH_ART_BANK if rich else ART_BANK
     wav = np.zeros(n_samples, np.float32)
@@ -179,7 +203,13 @@ def synth_utterance(
     id_track = np.zeros(n_samples, np.int64)
     segments = []
     ids = []
-    if rich:
+    syl_arts = []  # continuum: per-syllable perturbed articulatory targets
+    if continuum:
+        spk_scale = rng.uniform(0.84, 1.16)
+        spk_reg = float(np.exp(rng.uniform(np.log(82.0), np.log(285.0))))
+        contour = _phrase_contour(rng, n_samples)
+        f0_base = spk_reg
+    elif rich:
         spk_scale, spk_reg = SPEAKER_BANK[rng.randint(len(SPEAKER_BANK))]
         contour = _phrase_contour(rng, n_samples)
         f0_base = spk_reg
@@ -198,6 +228,15 @@ def synth_utterance(
         phoneme_id = rng.randint(len(bank))
         phoneme = bank[phoneme_id]
         ids.append(phoneme_id)
+        if continuum:
+            # unique point near the phoneme class: continuous formant +
+            # articulatory perturbation, tracked so the art truth follows
+            phoneme = phoneme * np.exp(
+                rng.normal(0.0, _CONT_F_SIGMA, size=phoneme.shape))
+            syl_arts.append(np.clip(
+                art_bank[phoneme_id]
+                + _CONT_ART_SIGMA * rng.randn(12), -1.0, 1.0
+            ).astype(np.float32))
         if rich:
             phoneme = phoneme * spk_scale
             # f0 follows the phrase contour continuously (+ per-syllable
@@ -217,7 +256,9 @@ def synth_utterance(
         wav[pos: pos + dur] = amp * syl
         f0_track[pos: pos + dur] = f0_t
         env_track[pos: pos + dur] = env
-        id_track[pos: pos + dur] = phoneme_id
+        # continuum: track the syllable ORDINAL so the art truth can look up
+        # the per-syllable perturbed target instead of the shared bank row
+        id_track[pos: pos + dur] = (len(ids) - 1) if continuum else phoneme_id
         s = pos // FRAME
         segments.append([s, s + dur_frames])
         pos += dur
@@ -239,7 +280,8 @@ def synth_utterance(
         art = np.zeros((n_frames, 14), np.float32)
         # envelope is nonzero only inside voiced spans, so silent frames
         # stay at the blank value (0) in every channel
-        art[:, :12] = env_track[centers, None] * art_bank[id_track[centers]]
+        lut = (np.stack(syl_arts) if continuum and syl_arts else art_bank)
+        art[:, :12] = env_track[centers, None] * lut[id_track[centers]]
         voiced = f0_track[centers] > 0
         art[voiced, 12] = np.log(f0_track[centers][voiced] / PITCH_MEAN)
         art[:, 13] = np.sqrt(

@@ -95,3 +95,45 @@ def test_rich_has_per_utterance_pitch_modulation():
                       / max((d * d).sum(), 1e-9))
     assert np.mean(stds) > 0.06
     assert np.mean(smooth) > 0.8
+
+
+def test_continuum_is_continuous_not_gridded():
+    """The continuum style exists so production-scale codebooks (5K-20K
+    units) have a true feature continuum to tile: speakers are sampled from
+    continuous ranges and every syllable token is a unique perturbed point
+    near its phoneme class (scripts/production_codebooks.py). Pin that:
+    (a) the v1/rich output contract holds; (b) per-utterance registers do
+    NOT collapse onto the 12-row speaker bank; (c) repeated draws of the
+    same phoneme class yield distinct articulatory targets."""
+    rng = np.random.RandomState(17)
+    regs = []
+    arts_by_id = {}
+    for _ in range(24):
+        wav, segs, ids, art = synth_utterance(
+            rng, 4 * 16000, return_ids=True, return_art=True,
+            style="continuum")
+        assert np.isfinite(wav).all() and art.shape[1] == 14
+        assert len(ids) == len(segs)
+        v = art[:, 13] > 0.02
+        regs.append(float(art[v, 12].mean()))
+        for (s, e), pid in zip(segs, ids):
+            mid = (s + e) // 2
+            if art[mid, 13] > 0.02:
+                arts_by_id.setdefault(int(pid), []).append(art[mid, :12])
+    # continuous registers: 24 utterances give ~24 distinct means, far more
+    # than the 12 discrete bank registers could produce
+    assert len(np.unique(np.round(regs, 3))) >= 20
+    # same phoneme class, different syllables -> distinct art targets
+    dists = [float(np.abs(a[0] - a[1]).max())
+             for a in arts_by_id.values() if len(a) >= 2]
+    assert dists and np.median(dists) > 0.02
+
+
+def test_continuum_leaves_v1_and_rich_untouched():
+    """Adding the style must not shift the v1 or rich RNG sequences."""
+    w_v1, _ = synth_utterance(np.random.RandomState(123), 5 * 16000)
+    assert hashlib.sha256(w_v1.tobytes()).hexdigest().startswith("8e1db14b")
+    r1, r2 = np.random.RandomState(9), np.random.RandomState(9)
+    w1, s1 = synth_utterance(r1, 3 * 16000, style="rich")
+    w2, s2 = synth_utterance(r2, 3 * 16000, style="rich")
+    np.testing.assert_array_equal(w1, w2)

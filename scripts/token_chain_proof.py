@@ -112,16 +112,9 @@ def per_utt_pitch_modulation(art, truth):
     """Mean-removed per-utterance pitch corr at the ARTICULATORY level —
     the CFM's within-utterance pitch-dynamics fidelity, isolated from the
     vocoder and the F0 tracker (VERDICT r4 item 4)."""
-    rs = []
-    for a, t in zip(art, truth):
-        v = t[..., 13] > 0.02
-        if v.sum() < 20:
-            continue
-        x = a[..., 12][v] - a[..., 12][v].mean()
-        y = t[..., 12][v] - t[..., 12][v].mean()
-        den = np.sqrt((x * x).sum() * (y * y).sum()) + 1e-12
-        rs.append(float((x * y).sum() / den))
-    return float(np.mean(rs)) if rs else 0.0
+    from sylber_tpu.utils.metrics import per_utterance_pitch_modulation
+
+    return per_utterance_pitch_modulation(art, truth)
 
 
 def eval_chain(synth, norm_thr, merge_thr, heldout, steps=50, seed=0,

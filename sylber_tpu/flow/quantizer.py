@@ -401,3 +401,48 @@ def quantizer_decode(state: QuantizerState, cfg: QuantizerConfig,
     if cfg.unit_norm_encoder_output:
         q = unit_norm_sep(q, cfg.separate_norm, cfg.pitch_emb_dim)
     return q
+
+
+# ---------------------------------------------------------------------------
+# explicit pitch token (scalar quantizer)
+# ---------------------------------------------------------------------------
+
+
+class ScalarPitchQuantizer:
+    """Uniform scalar quantizer for per-segment mean log-pitch.
+
+    The discrete counterpart of the reference Quantizer's pitch sub-space
+    (`/root/reference/sylber/model/quantizer.py:182-257`) for the
+    explicit-pitch conditioning mode (`ops/pitch.py` rationale): where
+    the reference VQ-codes a pitch embedding *derived from segment
+    features*, this codes the per-segment mean log(F0 / pitch_mean)
+    *measured from the input audio*, so the token stream carries pitch
+    the features never held.
+
+    Index 0 is reserved for "unvoiced segment"; indices 1..n_bins map the
+    [lo, hi] log-pitch range uniformly (defaults cover 70-400 Hz around a
+    120 Hz corpus mean). All methods are jittable.
+    """
+
+    def __init__(self, n_bins: int = 64, lo: float = -0.54, hi: float = 1.21):
+        assert n_bins >= 2 and hi > lo, (n_bins, lo, hi)
+        self.n_bins = int(n_bins)
+        self.lo, self.hi = float(lo), float(hi)
+        self.step = (self.hi - self.lo) / self.n_bins
+
+    @property
+    def vocab_size(self) -> int:
+        return self.n_bins + 1  # + the unvoiced token
+
+    def get_indices(self, values: jnp.ndarray, has: jnp.ndarray
+                    ) -> jnp.ndarray:
+        """(values, has) (B, MS) -> int32 tokens (B, MS); 0 = unvoiced."""
+        b = jnp.floor((values - self.lo) / self.step).astype(jnp.int32)
+        b = jnp.clip(b, 0, self.n_bins - 1)
+        return jnp.where(has, b + 1, 0)
+
+    def decode(self, indices: jnp.ndarray):
+        """Tokens -> (bin-center values, has) (B, MS)."""
+        has = indices > 0
+        centers = self.lo + (indices.astype(jnp.float32) - 0.5) * self.step
+        return jnp.where(has, centers, 0.0), has

@@ -81,6 +81,12 @@ class SynthesisConfig:
     input_dropout: float = 0.05
     merge_threshold_range: Tuple[float, float] = (0.8, 0.8)
     pitch_amp: float = 5.0
+    # explicit-pitch conditioning (extension past the reference, ops/pitch.py
+    # rationale): append per-segment mean log(F0/pitch_cond_mean) measured
+    # from the input audio as one extra conditioning channel. Off by default
+    # — the reference conditions on segment features only.
+    explicit_pitch_cond: bool = False
+    pitch_cond_mean: float = 120.0
 
     @staticmethod
     def from_yaml_dict(cfg: Dict[str, Any]) -> "SynthesisConfig":
@@ -108,6 +114,8 @@ class SynthesisConfig:
             merge_threshold_range=tuple(
                 cfg.get("merge_threshold_range", (0.8, 0.8))),
             pitch_amp=cfg.get("pitch_amp", 5.0),
+            explicit_pitch_cond=cfg.get("explicit_pitch_cond", False),
+            pitch_cond_mean=cfg.get("pitch_cond_mean", 120.0),
         )
 
 
@@ -127,6 +135,7 @@ class SegmentSynthesis:
         params: Optional[SynthesisParams] = None,
         thresholder_configs: Optional[dict] = None,
         quantizer=None,
+        pitch_quantizer=None,
         seed: int = 0,
         **yaml_kwargs: Any,
     ) -> None:
@@ -137,6 +146,9 @@ class SegmentSynthesis:
                                   c.input_dropout)
         self.regressor = Regressor(c.regressor)
         self.quantizer = quantizer
+        # discrete token stream for the explicit pitch channel (the analogue
+        # of the reference's pitch codebook, flow/quantizer.py)
+        self.pitch_quantizer = pitch_quantizer
         self.thresholder = thresholder_init(**(thresholder_configs or {}))
 
         if params is not None:
@@ -151,7 +163,8 @@ class SegmentSynthesis:
         c = self.config
         k1, k2, k3 = jax.random.split(rng, 3)
         hubert = self.hubert.init_params(k1, example_len=4000)
-        dummy_h = jnp.zeros((1, 8, c.hubert.hidden_size))
+        dummy_h = jnp.zeros((1, 8, c.hubert.hidden_size
+                             + int(c.explicit_pitch_cond)))
         input_mlp = self.input_mlp.init(k2, dummy_h)["params"]
         dummy_x = jnp.zeros((1, 8, c.regressor.dim_out))
         dummy_emb = jnp.zeros((1, 8, c.input_output_dim))
@@ -197,16 +210,26 @@ class SegmentSynthesis:
     # ------------------------------------------------------------------
 
     def _cond_from_features(self, features: jnp.ndarray,
-                            quantize: bool = True):
+                            quantize: bool = True,
+                            pitch_cond: Optional[jnp.ndarray] = None):
         """Feature path: norms (no eps! `segment_synthesis.py:138`),
         blank threshold 1e-4, optional quantization, MLP, blank zeroing.
         ``quantize=False`` for callers that already quantized per-segment
-        (the wav path, `segment_synthesis.py:126-131`)."""
+        (the wav path, `segment_synthesis.py:126-131`). Explicit-pitch
+        models additionally append the frame-filled per-segment mean
+        log-pitch channel (``pitch_cond`` (B, L)) before the MLP; blank
+        frames stay zero through both the fill and the final zeroing."""
         norms = jnp.sqrt((features ** 2).sum(-1))
         if quantize and self.quantizer is not None:
             idx = self.quantizer.get_indices(features)
             features = self.quantizer.decode(idx)
             features = jnp.where((norms < 1e-4)[..., None], 0.0, features)
+        if self.config.explicit_pitch_cond:
+            assert pitch_cond is not None, \
+                "explicit_pitch_cond model: pass pitch_cond (B, L) — see " \
+                "ops/pitch.segment_pitch_cond"
+            features = jnp.concatenate(
+                [features, pitch_cond[..., None].astype(features.dtype)], -1)
         cond = self.input_mlp.apply({"params": self.params.input_mlp}, features)
         return jnp.where((norms < 1e-4)[..., None], 0.0, cond)
 
@@ -222,9 +245,16 @@ class SegmentSynthesis:
         seed: int = 0,
         method: str = "midpoint",
         cond_scale: float = 1.0,
+        pitch_cond: Optional[np.ndarray] = None,
     ):
         """Returns (art (B, L, 14), segments or None), reference signature
-        `segment_synthesis.py:103-146`."""
+        `segment_synthesis.py:103-146`.
+
+        Explicit-pitch models (``config.explicit_pitch_cond``): on the wav
+        path the per-segment pitch channel is measured in-graph from
+        ``input_values`` (optionally quantized by ``self.pitch_quantizer``);
+        on the feature path pass ``pitch_cond`` (B, L) frame-filled
+        log(F0/pitch_cond_mean) (`ops/pitch.py` helpers)."""
         segments_out = None
         if features is None:
             assert input_values is not None
@@ -251,7 +281,16 @@ class SegmentSynthesis:
             else:
                 filled = averaged_target_fill(hidden, res.segments,
                                               res.num_segments)
-            cond = self._cond_from_features(filled, quantize=False)
+            pitch_fill = None
+            if self.config.explicit_pitch_cond:
+                from .ops.pitch import segment_pitch_cond
+
+                pitch_fill = segment_pitch_cond(
+                    wav, res.segments, res.num_segments, hidden.shape[1],
+                    pitch_mean=self.config.pitch_cond_mean,
+                    pitch_quantizer=self.pitch_quantizer)
+            cond = self._cond_from_features(filled, quantize=False,
+                                            pitch_cond=pitch_fill)
             segments_out = [
                 np.asarray(res.segments[b][: int(res.num_segments[b])])
                 for b in range(len(wav))]
@@ -259,7 +298,11 @@ class SegmentSynthesis:
             feats = jnp.asarray(np.asarray(features, np.float32))
             if feats.ndim == 2:
                 feats = feats[None]
-            cond = self._cond_from_features(feats)
+            if pitch_cond is not None:
+                pitch_cond = jnp.asarray(np.asarray(pitch_cond, np.float32))
+                if pitch_cond.ndim == 1:
+                    pitch_cond = pitch_cond[None]
+            cond = self._cond_from_features(feats, pitch_cond=pitch_cond)
 
         art = self._sample(cond, steps, rand_scale, seed, method, cond_scale)
         art = np.array(art)  # writable host copy
@@ -339,7 +382,8 @@ class SegmentSynthesis:
         """CFM loss on (features|wav -> cond_emb, art target)."""
         c = self.config
         feats = batch["features"]
-        cond = self._cond_from_features_params(params, feats, rng, train)
+        cond = self._cond_from_features_params(
+            params, feats, rng, train, pitch_cond=batch.get("pitch_cond"))
         art = batch["art"].astype(jnp.float32)
         art = art.at[..., 12].multiply(c.pitch_amp)
 
@@ -355,8 +399,14 @@ class SegmentSynthesis:
                         frac_lengths_mask=c.regressor.frac_lengths_mask,
                         train=train)
 
-    def _cond_from_features_params(self, params, features, rng, train):
+    def _cond_from_features_params(self, params, features, rng, train,
+                                   pitch_cond=None):
         norms = jnp.sqrt((features ** 2).sum(-1))
+        if self.config.explicit_pitch_cond:
+            assert pitch_cond is not None, \
+                "explicit_pitch_cond model: batch needs a pitch_cond (B, L)"
+            features = jnp.concatenate(
+                [features, pitch_cond[..., None].astype(features.dtype)], -1)
         cond = self.input_mlp.apply(
             {"params": params.input_mlp}, features,
             deterministic=not train,

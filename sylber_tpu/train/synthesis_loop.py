@@ -80,10 +80,18 @@ def build_synthesis_corpus(n_utts: int, seconds: float = 5.0,
 
 def precompute_features(hubert, hubert_params, wav: np.ndarray,
                         norm_threshold: float, merge_threshold: float,
-                        batch: int = 32) -> jnp.ndarray:
+                        batch: int = 32, explicit_pitch: bool = False,
+                        pitch_mean: float = 120.0):
     """Averaged/blanked hidden states for the whole corpus, one jitted
     program per batch (frozen encoder -> segmentation -> averaged fill,
-    the reference wav path `segment_synthesis.py:107-135`)."""
+    the reference wav path `segment_synthesis.py:107-135`).
+
+    ``explicit_pitch=True`` additionally tracks F0 on the wav in the same
+    program and returns ``(features, pitch_cond)`` where pitch_cond (N, L)
+    is the frame-filled per-segment mean log(F0/pitch_mean) — the training
+    counterpart of the inference wav path, so the conditioning channel is
+    measured identically at train and test time (`ops/pitch.py`)."""
+    from ..ops.pitch import segment_pitch_cond
     from ..ops.segment import averaged_target_fill, segment_batch
 
     @jax.jit
@@ -91,10 +99,15 @@ def precompute_features(hubert, hubert_params, wav: np.ndarray,
         hidden = hubert.apply({"params": params}, w, None)
         hidden = hidden.astype(jnp.float32)
         res = segment_batch(hidden, norm_threshold, merge_threshold)
-        return averaged_target_fill(hidden, res.segments, res.num_segments)
+        filled = averaged_target_fill(hidden, res.segments, res.num_segments)
+        if not explicit_pitch:
+            return filled, None
+        pc = segment_pitch_cond(w, res.segments, res.num_segments,
+                                hidden.shape[1], pitch_mean=pitch_mean)
+        return filled, pc
 
     n = wav.shape[0]
-    outs = []
+    outs, pcs = [], []
     for i in range(0, n, batch):
         chunk = wav[i: i + batch]
         pad = 0
@@ -102,9 +115,14 @@ def precompute_features(hubert, hubert_params, wav: np.ndarray,
             pad = batch - chunk.shape[0]
             chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
                                                     chunk.dtype)])
-        out = fwd(hubert_params, jnp.asarray(chunk))
+        out, pc = fwd(hubert_params, jnp.asarray(chunk))
         outs.append(np.asarray(out[: batch - pad]))
-    return jnp.asarray(np.concatenate(outs, axis=0))
+        if explicit_pitch:
+            pcs.append(np.asarray(pc[: batch - pad]))
+    feats = jnp.asarray(np.concatenate(outs, axis=0))
+    if explicit_pitch:
+        return feats, jnp.asarray(np.concatenate(pcs, axis=0))
+    return feats
 
 
 # ---------------------------------------------------------------------------
@@ -120,13 +138,19 @@ def _pearson(a: np.ndarray, b: np.ndarray) -> float:
 
 def evaluate_synthesis(synth, features: jnp.ndarray, art_truth: np.ndarray,
                        steps: int = 50, seed: int = 0,
-                       method: str = "midpoint") -> Dict[str, float]:
+                       method: str = "midpoint",
+                       pitch_cond: Optional[jnp.ndarray] = None,
+                       ) -> Dict[str, float]:
     """Sample trajectories from conditioning features and score them against
     the analytic ground truth: Pearson correlation of the log-pitch channel
-    over voiced frames and of loudness over all frames, plus masked L1 of
-    the 12 articulator dims."""
+    over voiced frames and of loudness over all frames, per-utterance
+    mean-removed pitch-modulation corr, plus masked L1 of the 12
+    articulator dims."""
+    from ..utils.metrics import per_utterance_pitch_modulation
+
     art, _ = synth.resynthesize(features=np.asarray(features), steps=steps,
-                                seed=seed, method=method)
+                                seed=seed, method=method,
+                                pitch_cond=pitch_cond)
     truth = np.asarray(art_truth, np.float32)
     voiced = truth[..., 13] > 0.02
     pitch_r = _pearson(art[..., 12][voiced], truth[..., 12][voiced])
@@ -137,6 +161,7 @@ def evaluate_synthesis(synth, features: jnp.ndarray, art_truth: np.ndarray,
                             - truth[..., 12][voiced]).mean())
     loud_l1 = float(np.abs(art[..., 13] - truth[..., 13]).mean())
     return {"pitch_corr": pitch_r, "loud_corr": loud_r,
+            "pitch_mod_r": per_utterance_pitch_modulation(art, truth),
             "art_l1_voiced": art_l1, "pitch_l1_voiced": pitch_l1,
             "loud_l1": loud_l1, "n_eval_utts": int(truth.shape[0]),
             "ode_steps": steps}
@@ -231,11 +256,19 @@ def train_synthesis(
     style = data_cfg.get("style", "v1")
     corpus = build_synthesis_corpus(n_utts, seconds, seed=seed, style=style)
     t0 = time.time()
-    features = precompute_features(synth.hubert, synth.params.hubert,
-                                   corpus["wav"], norm_thr, merge_thr)
+    pitch_cond = None
+    if sc.explicit_pitch_cond:
+        features, pitch_cond = precompute_features(
+            synth.hubert, synth.params.hubert, corpus["wav"], norm_thr,
+            merge_thr, explicit_pitch=True, pitch_mean=sc.pitch_cond_mean)
+    else:
+        features = precompute_features(synth.hubert, synth.params.hubert,
+                                       corpus["wav"], norm_thr, merge_thr)
     art = jnp.asarray(corpus["art"])
     print(f"precomputed features {tuple(features.shape)} "
-          f"(norm_thr {norm_thr:.3f}) in {time.time() - t0:.1f}s")
+          f"(norm_thr {norm_thr:.3f}"
+          f"{', explicit pitch cond' if pitch_cond is not None else ''}) "
+          f"in {time.time() - t0:.1f}s")
 
     # ---- optimizer + jitted step ----
     lr = train_cfg.get("lr", 1e-4)
@@ -271,6 +304,8 @@ def train_synthesis(
         state = jax.tree.map(lambda x: replicated(x, mesh), state)
         features = replicated(features, mesh)
         art = replicated(art, mesh)
+        if pitch_cond is not None:
+            pitch_cond = replicated(pitch_cond, mesh)
         print(f"mesh: dp={dp} over {dp} devices")
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricLogger(out_dir)
@@ -293,6 +328,8 @@ def train_synthesis(
                 order_rng.shuffle(order)
             idx, order = jnp.asarray(order[:batch_size]), order[batch_size:]
             batch = {"features": features[idx], "art": art[idx]}
+            if pitch_cond is not None:
+                batch["pitch_cond"] = pitch_cond[idx]
             krng = jax.random.fold_in(rng, step_i)
             if mesh is not None:
                 from ..parallel.mesh import replicated, shard_batch
@@ -325,10 +362,17 @@ def train_synthesis(
     n_eval = ev_cfg.get("n_utts", 24)
     heldout = build_synthesis_corpus(n_eval, seconds, seed=seed + 90001,
                                      style=style)
-    feats_ev = precompute_features(synth.hubert, synth.params.hubert,
-                                   heldout["wav"], norm_thr, merge_thr)
+    pitch_ev = None
+    if sc.explicit_pitch_cond:
+        feats_ev, pitch_ev = precompute_features(
+            synth.hubert, synth.params.hubert, heldout["wav"], norm_thr,
+            merge_thr, explicit_pitch=True, pitch_mean=sc.pitch_cond_mean)
+    else:
+        feats_ev = precompute_features(synth.hubert, synth.params.hubert,
+                                       heldout["wav"], norm_thr, merge_thr)
     metrics = evaluate_synthesis(synth, feats_ev, heldout["art"],
-                                 steps=eval_steps, seed=seed)
+                                 steps=eval_steps, seed=seed,
+                                 pitch_cond=pitch_ev)
     logger.log(total_steps, metrics, prefix="eval")
     print("eval:", json.dumps(metrics))
 

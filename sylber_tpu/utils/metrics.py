@@ -54,3 +54,22 @@ def token_rate(segments_per_utt: Sequence[np.ndarray],
     total_tokens = sum(len(s) for s in segments_per_utt)
     total_seconds = float(sum(seconds_per_utt))
     return total_tokens / max(total_seconds, 1e-9)
+
+
+def per_utterance_pitch_modulation(art: np.ndarray, truth: np.ndarray,
+                                   min_voiced: int = 20) -> float:
+    """Mean per-utterance MEAN-REMOVED Pearson corr of the log-pitch channel
+    (12) over voiced frames (truth loudness ch 13 > 0.02) — within-utterance
+    pitch-dynamics fidelity, insensitive to register (the pooled pitch corr
+    rewards getting each speaker's register right even with flat contours).
+    art/truth: (B, L, >=14)."""
+    rs = []
+    for a, t in zip(art, truth):
+        v = t[..., 13] > 0.02
+        if v.sum() < min_voiced:
+            continue
+        x = a[..., 12][v] - a[..., 12][v].mean()
+        y = t[..., 12][v] - t[..., 12][v].mean()
+        den = np.sqrt((x * x).sum() * (y * y).sum()) + 1e-12
+        rs.append(float((x * y).sum() / den))
+    return float(np.mean(rs)) if rs else 0.0

@@ -171,6 +171,12 @@ def main():
     ap.add_argument("--stage2-steps", type=int, default=600)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--n-utts", type=int, default=256)
+    ap.add_argument("--steps-per-dispatch", type=int, default=8,
+                    help="K train steps per jitted dispatch (identical "
+                         "math; K=8 is ~12%% faster through the loop but "
+                         "its scan program costs ~30 min to compile over "
+                         "the tunnel on a cold XLA cache — use 1 when the "
+                         "cache is cold and the run is one-off)")
     ap.add_argument("--fixture-dir", default=None,
                     help="write mini_ckpt fixture here (e.g. tests/fixtures)")
     ap.add_argument("--style", default="v1", choices=["v1", "rich"],
@@ -208,7 +214,7 @@ def main():
         "max_steps": args.stage1_steps,
         # K steps per dispatch: identical math (f32 + threefry here; the
         # loop tests pin loss/param equality), ~1/K the host/dispatch work
-        "steps_per_dispatch": 8,
+        "steps_per_dispatch": args.steps_per_dispatch,
     }
     out1 = os.path.join(args.out_dir, "stage1")
     train(cfg1, out_dir=out1, max_steps=args.stage1_steps, log_every=100,
@@ -232,7 +238,7 @@ def main():
         "data": _data_cfg(args.n_utts, True, args.batch_size,
                           style=args.style),
         "max_steps": args.stage2_steps,
-        "steps_per_dispatch": 8,
+        "steps_per_dispatch": args.steps_per_dispatch,
     }
     out2 = os.path.join(args.out_dir, "stage2")
     state = train(cfg2, out_dir=out2, max_steps=args.stage2_steps,
